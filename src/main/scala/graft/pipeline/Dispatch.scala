@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.core._
+import graft.classify.Classifier
+import graft.extract._
+
+/** Routes a classified document to its extractor — the reference's
+  * `Manager.ingest` / `delegate` (`/root/reference/ingestors/manager.py:192-244`). */
+object Dispatch {
+
+  /** All 37 registered ingestors (`setup.py:20-59`). Formats whose decode
+    * needs a subprocess or native driver the sandbox lacks are
+    * UnsupportedExtractor → classified correctly, deterministic failure row. */
+  val registry: Map[String, Extractor] = Seq[Extractor](
+    IgnoreExtractor,
+    HtmlExtractor,
+    XmlExtractor,
+    PlainTextExtractor,
+    new UnsupportedExtractor("DocumentIngestor", "Pages",
+      "Legacy office conversion requires LibreOffice; unsupported in this build"),
+    OpenDocExtractor,
+    OoxmlExtractor,
+    new UnsupportedExtractor("DjVuIngestor", "Pages",
+      "DjVu conversion requires ddjvu; unsupported in this build"),
+    new UnsupportedExtractor("PDFIngestor", "Pages",
+      "placeholder"), // replaced below once PdfExtractor lands
+    new UnsupportedExtractor("RARIngestor", "Package",
+      "Could not unpack the contents of this file."),
+    ZipExtractor,
+    TarExtractor,
+    new UnsupportedExtractor("SevenZipIngestor", "Package",
+      "Could not unpack the contents of this file."),
+    GzipExtractor,
+    new UnsupportedExtractor("BZ2Ingestor", "Package",
+      "Could not unpack the contents of this file."),
+    new UnsupportedExtractor("OutlookPSTIngestor", "Package",
+      "PST extraction requires readpst; unsupported in this build"),
+    new UnsupportedExtractor("OutlookOLMArchiveIngestor", "Package",
+      "OLM extraction unsupported in this build"),
+    new UnsupportedExtractor("OutlookMsgIngestor", "Email",
+      "Outlook .msg (OLE) extraction unsupported in this build"),
+    EmlExtractor,
+    EmlxExtractor,
+    VCardExtractor,
+    CalendarExtractor,
+    CsvExtractor,
+    new UnsupportedExtractor("AccessIngestor", "Workbook",
+      "Access extraction requires mdbtools; unsupported in this build"),
+    new UnsupportedExtractor("SQLiteIngestor", "Workbook",
+      "SQLite extraction unsupported in this build"),
+    new UnsupportedExtractor("ExcelIngestor", "Workbook",
+      "Legacy BIFF Excel extraction unsupported in this build"),
+    XlsxExtractor,
+    OdsExtractor,
+    MboxExtractor,
+    new UnsupportedExtractor("DBFIngestor", "Table",
+      "DBF extraction unsupported in this build"),
+    ImageExtractor,
+    TiffExtractor,
+    SvgExtractor,
+    AudioExtractor,
+    VideoExtractor,
+    JsonExtractor
+  ).map(e => e.name -> e).toMap
+
+  final case class Ingested(ingestor: String, mime: String, result: ExtractionResult)
+
+  /** auction + delegate; auction failures become failure rows on the
+    * generic Document schema (`manager.py:226-234`). */
+  def ingest(fileName: String, mimeHint: String, bytes: Array[Byte]): Ingested = {
+    Classifier.auction(fileName, mimeHint, bytes) match {
+      case Left(err) =>
+        Ingested("", if (mimeHint == null) "" else mimeHint,
+          ExtractionResult.failure("Document", err))
+      case Right(a) =>
+        registry.get(a.ingestor) match {
+          case Some(ex) =>
+            Ingested(a.ingestor, a.mimeType,
+              ex.extract(RawDoc("", fileName, a.mimeType, bytes)))
+          case None =>
+            Ingested(a.ingestor, a.mimeType,
+              ExtractionResult.failure("Document", "Format not supported"))
+        }
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.core._
+import graft.corpus.CorpusGen
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared plumbing for SparkEntry.queries: renders the `documents` table
+  * into real file formats, runs the extraction pipeline, and exposes the
+  * outputs for projection. Rendering is deterministic (pure function of
+  * (doc_id, text)), which makes full extraction roundtrips expressible as
+  * DuckDB oracle SQL over the same parquet — the correctness gate then
+  * verifies classifier + parser + pipeline end-to-end. */
+object QueryLib extends Serializable {
+
+  def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** (doc_id, text) → pending rows via a named renderer. */
+  def renderPending(s: SparkSession, docs: DataFrame, renderer: String)
+      : Dataset[PendingDoc] = {
+    import s.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text0) =>
+        val text = if (text0 == null) "" else text0
+        val (fileName, bytes) = render(renderer, id, text)
+        PendingDoc(id.toString, "", Seq.empty, 0, fileName, "", bytes)
+      })
+  }
+
+  def render(renderer: String, id: Long, text: String): (String, Array[Byte]) =
+    renderer match {
+      case "html" =>
+        (s"doc$id.html", CorpusGen.renderHtml(s"Doc $id", s"Summary $id",
+          Seq("alpha", "beta"), text))
+      case "csv" =>
+        val rows = text.split(" ").grouped(5).map(_.mkString(",")).mkString("\n")
+        (s"doc$id.csv", (rows + "\n").getBytes("UTF-8"))
+      case "json" =>
+        val items = text.split(" ").map(t => "\"" + t + "\"").mkString(", ")
+        (s"doc$id.json", s"""{"items": [$items]}""".getBytes("UTF-8"))
+      case "eml" =>
+        val eml = s"From: Alice A <alice@graft.test>\r\n" +
+          s"To: Bob B <bob@graft.test>\r\n" +
+          s"Subject: Doc $id\r\n" +
+          s"Message-ID: <m$id@graft.test>\r\n" +
+          (if (id > 0) s"In-Reply-To: <m${id - 1}@graft.test>\r\n" else "") +
+          "Content-Type: text/plain; charset=utf-8\r\n\r\n" +
+          text + "\r\n"
+        (s"doc$id.eml", eml.getBytes("UTF-8"))
+      case "txt" => (s"doc$id.txt", text.getBytes("UTF-8"))
+      case "zip" =>
+        (s"doc$id.zip", CorpusGen.renderZip(Seq(
+          ("a.txt", text.getBytes("UTF-8")),
+          ("b.txt", s"copy of doc $id".getBytes("UTF-8")))))
+      case other => throw new IllegalArgumentException(s"renderer $other")
+    }
+
+  def run(s: SparkSession, pending: Dataset[PendingDoc]): Pipeline.Output =
+    Pipeline.run(s, pending)
+
+  /** properties["name"][0] as a column (FtM first-value). */
+  def prop(name: String): org.apache.spark.sql.Column =
+    element_at(element_at(col("properties"), name), 1)
+
+  /** Documents plus near-duplicate mutants (id + 10_000_000, every 10th
+    * token dropped) for the near-dup operator oracles. Only docs with ≥
+    * minTokens get a mutant, so the expected pair set is exactly
+    * predictable in SQL. */
+  def withMutants(s: SparkSession, docs: DataFrame, minTokens: Int): DataFrame = {
+    import s.implicits._
+    val base = docs.select(col("doc_id").cast("long"), col("text"))
+    val mutants = base.as[(Long, String)].flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      if (toks.length < minTokens) Iterator.empty
+      else {
+        val kept = toks.zipWithIndex.collect { case (t, i) if i % 10 != 9 => t }
+        Iterator((id + 10000000L, kept.mkString(" ")))
+      }
+    }.toDF("doc_id", "text")
+    base.toDF("doc_id", "text").unionByName(mutants)
+  }
+}
