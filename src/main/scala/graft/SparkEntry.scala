@@ -79,6 +79,21 @@ object SparkEntry {
         .select(col("doc_id"), col("file_name"), col("body"))
         .orderBy("doc_id", "file_name")
     }),
+    "x_pdf" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "pdf"))
+      val meta = out.meta.toDF().select(col("doc_id"),
+        QueryLib.prop("title").as("title"),
+        QueryLib.prop("pageCount").cast("long").as("page_count"))
+      val body = out.spans.toDF().filter(col("kind") === "page")
+        .groupBy(col("doc_id"))
+        .agg(regexp_replace(
+          concat_ws(" ", array_sort(collect_list(struct(col("seq"), col("text"))))
+            .getField("text")), "\n", " ").as("body"))
+      meta.join(body, "doc_id")
+        .select(col("doc_id").cast("long").as("doc_id"), col("title"),
+          col("page_count"), col("body"))
+        .orderBy("doc_id")
+    }),
     "x_classify" -> ((s, dir) => {
       import s.implicits._
       val pending = QueryLib.documents(s, dir)
@@ -276,6 +291,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 'b.txt' AS file_name, 'copy of doc ' || doc_id AS body FROM documents
         |ORDER BY doc_id, file_name""".stripMargin,
+    "x_pdf" ->
+      """SELECT doc_id,
+        |       'Doc ' || doc_id AS title,
+        |       CAST(ceil(len(string_split(text, ' ')) / 50.0) AS BIGINT) AS page_count,
+        |       text AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_classify" ->
       """SELECT doc_id,
         |       CASE doc_id % 6

@@ -22,8 +22,7 @@ object Dispatch {
     OoxmlExtractor,
     new UnsupportedExtractor("DjVuIngestor", "Pages",
       "DjVu conversion requires ddjvu; unsupported in this build"),
-    new UnsupportedExtractor("PDFIngestor", "Pages",
-      "placeholder"), // replaced below once PdfExtractor lands
+    PdfExtractor,
     new UnsupportedExtractor("RARIngestor", "Package",
       "Could not unpack the contents of this file."),
     ZipExtractor,

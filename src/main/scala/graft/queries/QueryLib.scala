@@ -54,6 +54,10 @@ object QueryLib extends Serializable {
           text + "\r\n"
         (s"doc$id.eml", eml.getBytes("UTF-8"))
       case "txt" => (s"doc$id.txt", text.getBytes("UTF-8"))
+      case "pdf" =>
+        val pages = text.split(" ").grouped(10).map(_.mkString(" "))
+          .grouped(5).map(_.toSeq).toSeq
+        (s"doc$id.pdf", CorpusGen.renderPdf(pages, s"Doc $id"))
       case "zip" =>
         (s"doc$id.zip", CorpusGen.renderZip(Seq(
           ("a.txt", text.getBytes("UTF-8")),

@@ -1,0 +1,146 @@
+package graft
+
+import graft.ops.{Dedup, TextOps, Similarity, Multimodal}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data operator semantics (dedup / similarity / text analysis /
+  * multimodal plumbing). */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val base = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+    (2L, "completely different words about spark catalyst optimizer plans"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again today"))
+
+  test("exact dedup keeps min id and counts duplicates") {
+    val out = Dedup.exact(base.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == 2) // 0 and 3 identical
+    assert(out(1L) == 1)
+    assert(out(2L) == 1)
+    assert(!out.contains(3L))
+  }
+
+  test("minhash-lsh finds the near-dup pair and not the unrelated one") {
+    val pairs = Dedup.minhashLsh(spark, base.toDF("doc_id", "text"),
+        "doc_id", "text", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // one token differs
+    assert(pairs.contains((0L, 3L))) // identical
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash signature approximates jaccard") {
+    val a = (1 to 100).map(i => s"tok$i").toSet
+    val b = (21 to 120).map(i => s"tok$i").toSet // true jaccard = 80/120 = 0.667
+    val sa = Dedup.minhashSignature(a.map(Dedup.hashToken), 256)
+    val sb = Dedup.minhashSignature(b.map(Dedup.hashToken), 256)
+    val est = sa.zip(sb).count { case (x, y) => x == y } / 256.0
+    assert(math.abs(est - 0.667) < 0.12, s"estimate $est")
+  }
+
+  test("ngram jaccard exact join equals per-pair set math") {
+    val out = Dedup.ngramJaccardExact(spark, base.toDF("doc_id", "text"),
+        "doc_id", "text", 0.01)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sh = base.map { case (id, t) =>
+      id -> TextOps.shingles(t.split(" ").toIndexedSeq, 3)
+    }.toMap
+    for (((a, b), j) <- out)
+      assert(math.abs(j - Dedup.jaccard(sh(a), sh(b))) < 1e-12)
+    assert(out.contains((0L, 3L)) && out((0L, 3L)) == 1.0)
+  }
+
+  test("simhash: identical texts at distance 0; near texts small distance") {
+    val s0 = Dedup.simhash64(base(0)._2.split(" "))
+    val s3 = Dedup.simhash64(base(3)._2.split(" "))
+    assert(s0 == s3)
+    val s1 = Dedup.simhash64(base(1)._2.split(" "))
+    assert(java.lang.Long.bitCount(s0 ^ s1) <= 12)
+    val s2 = Dedup.simhash64(base(2)._2.split(" "))
+    assert(java.lang.Long.bitCount(s0 ^ s2) > java.lang.Long.bitCount(s0 ^ s1))
+  }
+
+  test("simhash banding finds hamming<=3 pairs") {
+    val pairs = Dedup.simhashPairs(spark, base.toDF("doc_id", "text"),
+        "doc_id", "text", 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("brute-force ANN: exact cosine order with deterministic ties") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.01f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L),
+        "vec_id", "embedding", 2)
+      .orderBy("rank").collect().map(_.getLong(2)).toVector
+    assert(top == Vector(3L, 1L)) // 3 is closest to 0, then 1
+  }
+
+  test("lsh ANN returns a subset of real neighbors (recall sanity)") {
+    val rng = new graft.corpus.CorpusGen.Rng(7)
+    val vecs = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rng.nextDouble().toFloat))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(spark, vecs, q, "vec_id", "embedding", 5, dim = 16)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    assert((brute & lsh).size >= 5, s"recall too low: ${(brute & lsh).size}/25")
+  }
+
+  test("language id: distinctive marker words win; short text is und") {
+    assert(TextOps.detectLanguage("der hund ist nicht in das haus und der garten") == "de")
+    assert(TextOps.detectLanguage("le chat est dans la maison et le jardin") == "fr")
+    assert(TextOps.detectLanguage("x") == "und")
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val a = TextOps.fingerprint(Seq("a", "b", "c"))
+    assert(a == TextOps.fingerprint(Seq("a", "b", "c")))
+    assert(a != TextOps.fingerprint(Seq("c", "b", "a")))
+  }
+
+  test("multimodal decode stub: deterministic metadata + frame sampling plan") {
+    val df = Seq((1L, "video", "payload-bytes".getBytes),
+      (2L, "image", "img".getBytes)).toDF("doc_id", "kind", "payload")
+    val meta = Multimodal.decodeMedia(spark, df, "doc_id", "kind", "payload")
+    val rows = meta.collect().map(m => m.doc_id -> m).toMap
+    assert(rows(1L).duration_ms >= 0 && rows(2L).duration_ms == 0)
+    assert(rows(1L).feature.length == 8)
+    // determinism
+    val again = Multimodal.decodeMedia(spark, df, "doc_id", "kind", "payload")
+      .collect().map(m => m.doc_id -> m.width).toMap
+    assert(again(1L) == rows(1L).width)
+    val frames = Multimodal.sampleFrames(meta, 60000L)
+    assert(frames.count() == rows(1L).duration_ms / 60000 +
+      (if (rows(1L).duration_ms % 60000 > 0) 1 else 0))
+  }
+
+  test("analysis patterns: email/phone/iban extraction with cleanup") {
+    // NB: the reference's IBAN regex (analysis/patterns.py:10-13) requires 7
+    // consecutive digits — compact IBANs match, fully-spaced ones don't
+    val spans = Seq(("d1",
+      "write to First.Last@Example.org or call +49 (30) 1234-5678 iban DE44500105175407324931 end"))
+      .toDF("doc_id", "text")
+    val tags = graft.analysis.Analyze.extractPatterns(spans)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(tags.contains(("emailMentioned", "First.Last@Example.org")))
+    assert(tags.exists { case (p, v) => p == "phoneMentioned" && v.contains("4930") })
+    assert(tags.exists { case (p, v) => p == "ibanMentioned" && v.startsWith("DE44") })
+  }
+}

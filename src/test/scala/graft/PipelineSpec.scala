@@ -1,0 +1,141 @@
+package graft
+
+import graft.core._
+import graft.corpus.CorpusGen
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end pipeline semantics on a real SparkSession: children explode,
+  * lineage, determinism, dedup — the SURVEY §3 lifecycle invariants. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def pending(docs: (String, String, Array[Byte])*) = {
+    import spark.implicits._
+    spark.createDataset(docs.map { case (id, name, bytes) =>
+      PendingDoc(id, "", Seq.empty, 0, name, "", bytes)
+    })
+  }
+
+  test("zip children are exploded, re-classified and extracted with lineage") {
+    val zip = CorpusGen.renderZip(Seq(
+      ("inner.html", "<html><body><p>from the zip</p></body></html>".getBytes),
+      ("inner.txt", "plain text member".getBytes)))
+    val out = Pipeline.run(spark, pending(("d1", "d1.zip", zip)))
+    val meta = out.meta.collect().map(m => m.doc_id -> m).toMap
+    assert(meta("d1").ingestor == "ZipIngestor")
+    assert(meta("d1").schema == "Package")
+    assert(meta("d1/0").ingestor == "HTMLIngestor")
+    assert(meta("d1/0").parent_id == "d1")
+    assert(meta("d1/0").ancestors == Seq("d1"))
+    assert(meta("d1/0").depth == 1)
+    assert(meta("d1/1").ingestor == "PlainTextIngestor")
+    val spans = out.spans.collect().map(s => (s.doc_id, s.text)).toSet
+    assert(spans.contains(("d1/0", "from the zip")))
+    assert(spans.contains(("d1/1", "plain text member")))
+    val lin = out.lineage.collect()
+    assert(lin.map(_.doc_id).toSet == Set("d1", "d1/0", "d1/1"))
+    out.cleanup()
+  }
+
+  test("nested zip recursion carries ancestors through both levels") {
+    val inner = CorpusGen.renderZip(Seq(("deep.txt", "deep text".getBytes)))
+    val outer = CorpusGen.renderZip(Seq(("nested.zip", inner)))
+    val out = Pipeline.run(spark, pending(("d2", "d2.zip", outer)))
+    val meta = out.meta.collect().map(m => m.doc_id -> m).toMap
+    assert(meta("d2/0").ingestor == "ZipIngestor")
+    assert(meta("d2/0/0").ingestor == "PlainTextIngestor")
+    assert(meta("d2/0/0").ancestors == Seq("d2", "d2/0"))
+    assert(meta("d2/0/0").depth == 2)
+    out.cleanup()
+  }
+
+  test("maxDepth caps runaway recursion") {
+    // zip-in-zip-in-zip with maxDepth=1: level-2 children never extracted
+    val l3 = CorpusGen.renderZip(Seq(("x.txt", "bottom".getBytes)))
+    val l2 = CorpusGen.renderZip(Seq(("l3.zip", l3)))
+    val l1 = CorpusGen.renderZip(Seq(("l2.zip", l2)))
+    val out = Pipeline.run(spark, pending(("d3", "d3.zip", l1)),
+      Pipeline.Config(maxDepth = 1))
+    assert(out.meta.collect().map(_.depth).max == 1)
+    out.cleanup()
+  }
+
+  test("failure rows: garbage bytes yield status=failure, never an exception") {
+    val out = Pipeline.run(spark,
+      pending(("d4", "d4.bin", Array[Byte](1, 2, 3, 0, 9, 9))))
+    val m = out.meta.collect().head
+    assert(m.processing_status == "failure")
+    assert(m.processing_error == "Format not supported")
+    out.cleanup()
+  }
+
+  test("mbox -> eml children -> attachment grandchildren (queue recursion analogue)") {
+    val attach = Some(("doc.txt", "attached payload".getBytes))
+    val eml = CorpusGen.renderEml("Subj", "a@x.test", "b@x.test", "cover",
+      htmlAlt = false, attach)
+    val mbox = CorpusGen.renderMbox(Seq(eml))
+    val out = Pipeline.run(spark, pending(("d5", "inbox.mbox", mbox)))
+    val meta = out.meta.collect().map(m => m.doc_id -> m).toMap
+    assert(meta("d5").schema == "Package")
+    assert(meta("d5/0").schema == "Email")
+    assert(meta("d5/0/0").ingestor == "PlainTextIngestor") // the attachment
+    assert(meta("d5/0/0").file_name == "doc.txt")
+    out.cleanup()
+  }
+
+  test("pipeline output is deterministic across runs (span-sequence equality)") {
+    val (docs, blobs) = CorpusGen.corpus(spark, 300)
+    def spansOf() = {
+      val out = Pipeline.run(spark, Pipeline.initialPending(spark, docs, blobs))
+      val r = out.spans.collect()
+        .map(s => (s.doc_id, s.seq, s.kind, s.text, s.media_ref, s.offset)).sorted.toVector
+      out.cleanup()
+      r
+    }
+    val a = spansOf()
+    val b = spansOf()
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("corpus generation is deterministic (same seed, same bytes)") {
+    val g1 = CorpusGen.generate(42, 17)
+    val g2 = CorpusGen.generate(42, 17)
+    assert(g1.bytes.sameElements(g2.bytes))
+    assert(g1.file_name == g2.file_name)
+    val g3 = CorpusGen.generate(43, 17)
+    assert(!g1.bytes.sameElements(g3.bytes) || g1.format != g3.format)
+  }
+
+  test("dedup-by-content plan: identical payloads extracted once") {
+    import spark.implicits._
+    val same = "identical bytes".getBytes
+    val p = pending(("a", "a.txt", same), ("b", "b.txt", same),
+      ("c", "c.txt", "different".getBytes))
+    val (deduped, mapping) = Pipeline.dedupByContent(spark, p)
+    assert(deduped.count() == 2)
+    val m = mapping.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(m("b") == "a") // representative = smallest doc_id
+    assert(m("c") == "c")
+  }
+
+  test("metrics roll up per ingestor") {
+    val out = Pipeline.run(spark, pending(
+      ("m1", "x.txt", "hello".getBytes),
+      ("m2", "y.txt", "world".getBytes),
+      ("m3", "z.bin", Array[Byte](1, 2, 0))))
+    val rows = Pipeline.metrics(out.meta).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("PlainTextIngestor") == (2L, 0L))
+    assert(rows("") == (0L, 1L)) // unclassifiable junk
+    out.cleanup()
+  }
+}
