@@ -225,6 +225,18 @@ object SparkEntry {
         .select(col("doc_id"), col("key"), col("freq"))
         .orderBy("doc_id", "key")
     }),
+    "a_mentions" -> ((s, dir) => {
+      val spans = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com")).as("text"))
+      val agg = Analyze.aggregateTags(Analyze.extractPatterns(spans)
+        .filter(col("prop") === "emailMentioned"))
+      Analyze.mentions(agg)
+        .select(col("mention_id"), col("document").cast("long").as("document"),
+          col("detected_prop"), col("resolved_key"))
+        .orderBy("document", "resolved_key")
+    }),
     "a_thread_join" -> ((s, dir) => {
       val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "eml"))
       Analyze.threadEmails(s, out.meta)
@@ -378,6 +390,13 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, 'user' || (doc_id % 10) || '@example.com' AS email FROM documents
         |) GROUP BY doc_id, email ORDER BY doc_id, key""".stripMargin,
+    "a_mentions" ->
+      """SELECT substr(sha256('mention|' || doc_id || '|emailMentioned|' ||
+        |         'user' || doc_id || '@example.com'), 1, 20) AS mention_id,
+        |       doc_id AS document,
+        |       'emailMentioned' AS detected_prop,
+        |       'user' || doc_id || '@example.com' AS resolved_key
+        |FROM documents ORDER BY document, resolved_key""".stripMargin,
     "a_thread_join" ->
       """SELECT doc_id, doc_id - 1 AS in_reply_to_doc FROM documents
         |WHERE doc_id > 0 ORDER BY doc_id""".stripMargin

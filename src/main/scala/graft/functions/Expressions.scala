@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for the hot vector math.
+  *
+  * `cosine_sim` replaces the `aggregate(zip_with(...))` composition: the
+  * higher-order array functions are CodegenFallback (interpreted, one
+  * closure call per element), while this expression generates a single
+  * fused loop inside whole-stage codegen — the preference order of the
+  * build contract (native Expression > composed HOFs > UDF). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  // callers cast inputs to array<double> explicitly (Similarity.cosineCol)
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i)
+      val yv = y.getDouble(i)
+      dot += xv * yv
+      na += xv * xv
+      nb += yv * yv
+      i += 1
+    }
+    var j = n
+    while (j < x.numElements()) { val v = x.getDouble(j); na += v * v; j += 1 }
+    j = n
+    while (j < y.numElements()) { val v = y.getDouble(j); nb += v * v; j += 1 }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |double graftDot = 0.0, graftNa = 0.0, graftNb = 0.0;
+         |int graftN = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int graftI = 0; graftI < graftN; graftI++) {
+         |  double graftX = $a.getDouble(graftI);
+         |  double graftY = $b.getDouble(graftI);
+         |  graftDot += graftX * graftY;
+         |  graftNa += graftX * graftX;
+         |  graftNb += graftY * graftY;
+         |}
+         |for (int graftJ = graftN; graftJ < $a.numElements(); graftJ++) {
+         |  double graftV = $a.getDouble(graftJ); graftNa += graftV * graftV;
+         |}
+         |for (int graftK = graftN; graftK < $b.numElements(); graftK++) {
+         |  double graftV = $b.getDouble(graftK); graftNb += graftV * graftV;
+         |}
+         |double graftDen = java.lang.Math.sqrt(graftNa) * java.lang.Math.sqrt(graftNb);
+         |${ev.value} = graftDen == 0.0 ? 0.0 : graftDot / graftDen;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+
+  /** Registration (idempotent): `SELECT cosine_sim(v1, v2) FROM ...`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+
+  /** cosine similarity of two array<double> columns (codegen'd). Spark 4
+    * hides Column.expr, so the Column-side handle goes through the function
+    * registry + call_function. */
+  def cosine_sim(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
+  }
+}
