@@ -207,6 +207,20 @@ object Pipeline {
       sum(col("file_size")).as("bytes"))
   }
 
+  /** Resume after a kill: drop every pending document whose extraction is
+    * already committed (status recorded in the lineage table from a prior
+    * snapshot) — the `left_anti` recovery of the north rule. The lineage
+    * side is small (ids + status), so Catalyst broadcasts it under AQE;
+    * payload bytes never shuffle. */
+  def resume(spark: SparkSession, pending: Dataset[PendingDoc],
+             committed: Dataset[LineageRow]): Dataset[PendingDoc] = {
+    import spark.implicits._
+    val done = committed
+      .filter(_.status == ExtractionResult.Success)
+      .select($"doc_id")
+    pending.join(done, Seq("doc_id"), "left_anti").as[PendingDoc]
+  }
+
   /** Dedup-by-content-hash plan: extract each distinct payload once, then
     * broadcast the results back over the duplicate set — the reference's
     * conversion/OCR caches keyed by content hash

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.core._
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming front-end for the extraction engine.
+  *
+  * The reference consumes a RabbitMQ queue one file at a time
+  * (`/root/reference/ingestors/worker.py:28-74`); the streaming-native
+  * re-expression is a micro-batched source of raw documents where each
+  * batch runs the full iterative extraction DAG via foreachBatch — child
+  * documents recurse *within* the batch (bounded archive depth), so the
+  * stream never needs cyclic state. Sinks are append-only parquet/Iceberg
+  * tables; exactly-once comes from the sink's idempotent batchId handling.
+  */
+object StreamingIngest {
+
+  /** Wire a stream of pending documents through the extraction pipeline.
+    * `docs` must be a streaming Dataset[PendingDoc]-shaped frame. */
+  def extractionQuery(spark: SparkSession, docs: DataFrame,
+                      spansOut: String, metaOut: String,
+                      checkpointDir: String,
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pending = batch.as[PendingDoc]
+        val out = Pipeline.run(spark, pending)
+        out.spans.write.mode("append").parquet(spansOut)
+        out.meta.toDF()
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(metaOut)
+        out.cleanup()
+        ()
+      }
+      .start()
+  }
+
+  /** Watermarked per-ingestion-window metrics — the streaming analogue of
+    * the reference's Prometheus counters (`manager.py:29-65`): counts and
+    * bytes per event type in sliding windows, late data bounded by the
+    * watermark. */
+  def windowedMetrics(events: DataFrame,
+                      watermark: String = "10 minutes",
+                      window_ : String = "5 minutes"): DataFrame = {
+    events
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ → event-time type
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+  }
+}

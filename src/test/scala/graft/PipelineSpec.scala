@@ -127,6 +127,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(m("c") == "c")
   }
 
+  test("resume: committed docs are skipped, failures are retried (left_anti recovery)") {
+    import spark.implicits._
+    val p = pending(
+      ("r1", "a.txt", "first".getBytes),
+      ("r2", "b.txt", "second".getBytes),
+      ("r3", "c.txt", "third".getBytes))
+    val committed = spark.createDataset(Seq(
+      LineageRow(0, "r1", "PlainTextIngestor", "success", 0),
+      LineageRow(0, "r2", "PlainTextIngestor", "failure", 0)))
+    val remaining = Pipeline.resume(spark, p, committed)
+    // r1 done; r2 failed -> retried; r3 never ran
+    assert(remaining.collect().map(_.doc_id).sorted.toSeq == Seq("r2", "r3"))
+    val out = Pipeline.run(spark, remaining)
+    assert(out.meta.collect().map(_.doc_id).sorted.toSeq == Seq("r2", "r3"))
+    out.cleanup()
+  }
+
   test("metrics roll up per ingestor") {
     val out = Pipeline.run(spark, pending(
       ("m1", "x.txt", "hello".getBytes),

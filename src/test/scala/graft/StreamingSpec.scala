@@ -1,0 +1,83 @@
+package graft
+
+import graft.core._
+import graft.corpus.CorpusGen
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("streaming extraction: file source -> foreachBatch pipeline -> parquet sinks") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val srcDir = s"$base/src"
+    // stage two micro-batch files of pending docs
+    val batch1 = Seq(
+      PendingDoc("s1", "", Seq.empty, 0, "s1.html",
+        "", "<html><body><p>streamed html</p></body></html>".getBytes),
+      PendingDoc("s2", "", Seq.empty, 0, "s2.zip",
+        "", CorpusGen.renderZip(Seq(("in.txt", "zipped stream member".getBytes)))))
+    spark.createDataset(batch1).write.parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+    val q = StreamingIngest.extractionQuery(spark, stream,
+      s"$base/spans", s"$base/meta", s"$base/ckpt")
+    q.awaitTermination(120000)
+
+    val spans = spark.read.parquet(s"$base/spans")
+      .collect().map(r => (r.getString(0), r.getString(3))).toSet
+    assert(spans.contains(("s1", "streamed html")))
+    assert(spans.contains(("s2/0", "zipped stream member")))
+    val meta = spark.read.parquet(s"$base/meta")
+    assert(meta.count() == 3) // s1, s2, s2/0
+
+    // second batch arrives; checkpoint resumes without reprocessing batch 1
+    spark.createDataset(Seq(
+      PendingDoc("s3", "", Seq.empty, 0, "s3.txt", "", "late doc".getBytes)))
+      .write.mode("append").parquet(srcDir)
+    val q2 = StreamingIngest.extractionQuery(spark, spark.readStream
+        .schema(spark.read.parquet(srcDir).schema).parquet(srcDir),
+      s"$base/spans", s"$base/meta", s"$base/ckpt")
+    q2.awaitTermination(120000)
+    val meta2 = spark.read.parquet(s"$base/meta")
+    assert(meta2.count() == 4)
+    assert(meta2.filter(col("doc_id") === "s1").count() == 1) // no reprocessing
+  }
+
+  test("watermarked windowed metrics over the events stream schema") {
+    import spark.implicits._
+    val eventsPath = "/root/testdata/sf0.001/events.parquet"
+    // the file stream source needs a directory
+    val dir = java.nio.file.Files.createTempDirectory("graft-events")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(eventsPath),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(eventsPath).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val agg = StreamingIngest.windowedMetrics(stream)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("evt_metrics")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // append mode emits only watermark-closed windows; compare against batch
+    val batch = StreamingIngest.windowedMetrics(spark.read.parquet(eventsPath))
+      .agg(sum("n")).head().getLong(0)
+    val streamed = spark.sql("SELECT coalesce(sum(n), 0) FROM evt_metrics").head().getLong(0)
+    assert(batch > 0)
+    assert(streamed <= batch) // open windows held back by the watermark
+    val batchRows = StreamingIngest.windowedMetrics(spark.read.parquet(eventsPath))
+      .count()
+    assert(batchRows > 0)
+  }
+}
