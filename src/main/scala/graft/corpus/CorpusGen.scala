@@ -252,7 +252,8 @@ object CorpusGen {
     "html" -> 22, "txt" -> 11, "txt_latin1" -> 3, "txt_utf16" -> 2,
     "csv" -> 9, "json" -> 8, "xml" -> 5, "pdf" -> 7, "eml" -> 7,
     "eml_alt" -> 4, "eml_attach" -> 4, "mbox" -> 4, "zip" -> 6,
-    "zip_nested" -> 2, "gz" -> 3, "tar" -> 2, "empty" -> 1, "garbage" -> 2)
+    "zip_nested" -> 2, "gz" -> 3, "tar" -> 2, "msg" -> 3, "dbf" -> 2,
+    "vcf" -> 1, "ics" -> 1, "empty" -> 1, "garbage" -> 2)
 
   private val totalWeight = formats.map(_._2).sum
 
@@ -322,6 +323,30 @@ object CorpusGen {
         GenDoc(id, s"$id.tar", fmt, renderTar(Seq(
           (s"a$idx.txt", words(rng, 40).mkString(" ").getBytes("UTF-8")),
           (s"b$idx.json", renderJson(title, words(rng, 15))))))
+      case "msg" =>
+        val subj = title
+        def u16(s: String) = s.getBytes("UTF-16LE")
+        GenDoc(id, s"$id.msg", fmt, graft.extract.Cfbf.write(Seq(
+          "__substg1.0_0037001F" -> u16(subj),
+          "__substg1.0_1000001F" -> u16(body.take(2000)),
+          "__substg1.0_0C1F001F" -> u16("alice@graft.test"),
+          "__recip_version1.0_#00000000/__substg1.0_39FE001F" ->
+            u16("bob@graft.test"))))
+      case "dbf" =>
+        val rows = words(rng, 30).grouped(3)
+          .map(g => g.map(_.take(12)).toSeq).toSeq
+        GenDoc(id, s"$id.dbf", fmt, graft.extract.DbfWriter.write(
+          Seq(("COL_A", 12), ("COL_B", 12), ("COL_C", 12)), rows))
+      case "vcf" =>
+        val n = words(rng, 2).map(_.capitalize).mkString(" ")
+        val v = s"BEGIN:VCARD\r\nVERSION:3.0\r\nFN:$n\r\nEMAIL:user$idx@graft.test\r\nEND:VCARD\r\n"
+        GenDoc(id, s"$id.vcf", fmt, v.getBytes("UTF-8"))
+      case "ics" =>
+        val s = words(rng, 3).mkString(" ")
+        val v = "BEGIN:VCALENDAR\r\nBEGIN:VEVENT\r\n" +
+          s"SUMMARY:$s\r\nORGANIZER:mailto:host$idx@graft.test\r\n" +
+          "END:VEVENT\r\nEND:VCALENDAR\r\n"
+        GenDoc(id, s"$id.ics", fmt, v.getBytes("UTF-8"))
       case "empty" => GenDoc(id, s"$id.bin", fmt, Array.empty[Byte])
       case "garbage" =>
         val junk = new Array[Byte](64 + rng.nextInt(512))

@@ -36,8 +36,7 @@ object Dispatch {
       "PST extraction requires readpst; unsupported in this build"),
     new UnsupportedExtractor("OutlookOLMArchiveIngestor", "Package",
       "OLM extraction unsupported in this build"),
-    new UnsupportedExtractor("OutlookMsgIngestor", "Email",
-      "Outlook .msg (OLE) extraction unsupported in this build"),
+    MsgExtractor,
     EmlExtractor,
     EmlxExtractor,
     VCardExtractor,
@@ -52,8 +51,7 @@ object Dispatch {
     XlsxExtractor,
     OdsExtractor,
     MboxExtractor,
-    new UnsupportedExtractor("DBFIngestor", "Table",
-      "DBF extraction unsupported in this build"),
+    DbfExtractor,
     ImageExtractor,
     TiffExtractor,
     SvgExtractor,
