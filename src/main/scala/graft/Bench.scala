@@ -70,10 +70,13 @@ object Bench {
     results += ("pipeline_extract" -> pipeSec)
     val docsPerSec = processed / math.max(pipeSec, 1e-9)
 
-    // representative operator queries (same entries the verifier checks)
-    val benchQueries = Seq("x_html", "x_zip_children", "t_quality",
-      "t_token_count", "t_minhash_lsh", "t_simhash", "s_ann_brute",
-      "s_ann_lsh", "a_patterns", "a_thread_join")
+    // representative operator queries (same entries the verifier checks);
+    // SPARK_GRAFT_PIPELINE_ONLY=1 skips them for pure scaling measurements
+    val benchQueries =
+      if (sys.env.contains("SPARK_GRAFT_PIPELINE_ONLY")) Seq.empty[String]
+      else Seq("x_html", "x_zip_children", "t_quality",
+        "t_token_count", "t_minhash_lsh", "t_simhash", "s_ann_brute",
+        "s_ann_lsh", "a_patterns", "a_thread_join")
     for (q <- benchQueries) {
       val fn = SparkEntry.queries(q)
       val (sec, _) = time {

@@ -94,6 +94,47 @@ object SparkEntry {
           col("page_count"), col("body"))
         .orderBy("doc_id")
     }),
+    "x_docx" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "docx"))
+      val meta = out.meta.toDF().select(col("doc_id"),
+        QueryLib.prop("title").as("title"),
+        QueryLib.prop("authoredAt").as("authored_at"))
+      val body = out.spans.toDF().filter(col("kind") === "text")
+        .groupBy(col("doc_id"))
+        .agg(concat_ws(" ", array_sort(collect_list(struct(col("seq"), col("text"))))
+          .getField("text")).as("body"))
+      meta.join(body, "doc_id")
+        .select(col("doc_id").cast("long").as("doc_id"), col("title"),
+          col("authored_at"), col("body"))
+        .orderBy("doc_id")
+    }),
+    "x_xlsx" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "xlsx"))
+      val meta = out.meta.toDF().select(col("doc_id"),
+        QueryLib.prop("rowCount").cast("long").as("row_count"),
+        QueryLib.prop("sheets").as("sheet"))
+      val body = out.spans.toDF().filter(col("kind") === "text")
+        .groupBy(col("doc_id"))
+        .agg(concat_ws(" ", array_sort(collect_list(struct(col("seq"), col("text"))))
+          .getField("text")).as("body"))
+      meta.join(body, "doc_id")
+        .select(col("doc_id").cast("long").as("doc_id"), col("sheet"),
+          col("row_count"), col("body"))
+        .orderBy("doc_id")
+    }),
+    "x_mbox" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "mbox"))
+      val children = out.meta.toDF().filter(col("depth") === 1)
+        .select(col("parent_id").cast("long").as("doc_id"),
+          col("doc_id").as("child_id"),
+          QueryLib.prop("subject").as("subject"))
+      val body = out.spans.toDF().filter(col("kind") === "text")
+        .select(col("doc_id").as("child_id"),
+          regexp_replace(col("text"), """^\s+|\s+$""", "").as("body"))
+      children.join(body, "child_id")
+        .select(col("doc_id"), col("subject"), col("body"))
+        .orderBy("doc_id", "subject")
+    }),
     "x_classify" -> ((s, dir) => {
       import s.implicits._
       val pending = QueryLib.documents(s, dir)
@@ -309,6 +350,25 @@ object SparkEntry {
         |       CAST(ceil(len(string_split(text, ' ')) / 50.0) AS BIGINT) AS page_count,
         |       text AS body
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_docx" ->
+      """SELECT doc_id,
+        |       'Doc ' || doc_id AS title,
+        |       '2015-09-07T10:57:00' AS authored_at,
+        |       text AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_xlsx" ->
+      """SELECT doc_id,
+        |       'Sheet ' || doc_id AS sheet,
+        |       CAST(ceil(len(string_split(text, ' ')) / 4.0) AS BIGINT) + 1 AS row_count,
+        |       text AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_mbox" ->
+      """SELECT doc_id,
+        |       'Doc ' || doc_id || ' part ' || part AS subject,
+        |       text AS body
+        |FROM (SELECT doc_id, text, unnest(range(doc_id % 3 + 1)) AS part
+        |      FROM documents)
+        |ORDER BY doc_id, subject""".stripMargin,
     "x_classify" ->
       """SELECT doc_id,
         |       CASE doc_id % 6

@@ -52,7 +52,8 @@ case class DocMeta(doc_id: String,
                    file_name: String,
                    file_size: Long,
                    content_hash: String,
-                   properties: Map[String, Seq[String]])
+                   properties: Map[String, Seq[String]],
+                   duration_ms: Long = 0L)
 
 /** A child document produced during extraction (archive member, email
   * attachment, mbox message) destined for re-ingestion —

@@ -157,6 +157,48 @@ object CorpusGen {
     bos.toByteArray
   }
 
+  /** Minimal OOXML word document: [Content_Types] manifest + core props +
+    * one w:p per paragraph. */
+  def renderDocx(title: String, author: String, created: String,
+                 paragraphs: Seq[String]): Array[Byte] = {
+    val esc = (s: String) => s.replace("&", "&amp;").replace("<", "&lt;")
+    val ct =
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>
+        |</Types>""".stripMargin
+    val doc = "<?xml version=\"1.0\"?><w:document xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\"><w:body>" +
+      paragraphs.map(p => s"<w:p><w:r><w:t>${esc(p)}</w:t></w:r></w:p>").mkString +
+      "</w:body></w:document>"
+    val core =
+      s"""<?xml version="1.0"?><cp:coreProperties xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties" xmlns:dc="http://purl.org/dc/elements/1.1/" xmlns:dcterms="http://purl.org/dc/terms/">
+         |<dc:title>${esc(title)}</dc:title><dc:creator>${esc(author)}</dc:creator>
+         |<dcterms:created>${created}Z</dcterms:created>
+         |</cp:coreProperties>""".stripMargin
+    renderZip(Seq(
+      ("[Content_Types].xml", ct.getBytes("UTF-8")),
+      ("word/document.xml", doc.getBytes("UTF-8")),
+      ("docProps/core.xml", core.getBytes("UTF-8"))))
+  }
+
+  /** Minimal XLSX: manifest + workbook + one sheet with inline strings. */
+  def renderXlsx(sheetName: String, rows: Seq[Seq[String]]): Array[Byte] = {
+    val esc = (s: String) => s.replace("&", "&amp;").replace("<", "&lt;")
+    val ct =
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |</Types>""".stripMargin
+    val wb = s"""<?xml version="1.0"?><workbook xmlns="ns"><sheets><sheet name="${esc(sheetName)}" sheetId="1"/></sheets></workbook>"""
+    val sheet = "<?xml version=\"1.0\"?><worksheet xmlns=\"ns\"><sheetData>" +
+      rows.map { r =>
+        "<row>" + r.map(v =>
+          s"""<c t="inlineStr"><is><t>${esc(v)}</t></is></c>""").mkString + "</row>"
+      }.mkString + "</sheetData></worksheet>"
+    renderZip(Seq(
+      ("[Content_Types].xml", ct.getBytes("UTF-8")),
+      ("xl/workbook.xml", wb.getBytes("UTF-8")),
+      ("xl/worksheets/sheet1.xml", sheet.getBytes("UTF-8"))))
+  }
+
   /** Minimal well-formed PDF: catalog → pages → one content stream per
     * page, Helvetica, one text line per `Tj` with explicit leading. */
   def renderPdf(pages: Seq[Seq[String]], title: String = ""): Array[Byte] = {
@@ -253,7 +295,8 @@ object CorpusGen {
     "csv" -> 9, "json" -> 8, "xml" -> 5, "pdf" -> 7, "eml" -> 7,
     "eml_alt" -> 4, "eml_attach" -> 4, "mbox" -> 4, "zip" -> 6,
     "zip_nested" -> 2, "gz" -> 3, "tar" -> 2, "msg" -> 3, "dbf" -> 2,
-    "vcf" -> 1, "ics" -> 1, "empty" -> 1, "garbage" -> 2)
+    "docx" -> 4, "xlsx" -> 3, "vcf" -> 1, "ics" -> 1, "empty" -> 1,
+    "garbage" -> 2)
 
   private val totalWeight = formats.map(_._2).sum
 
@@ -323,6 +366,13 @@ object CorpusGen {
         GenDoc(id, s"$id.tar", fmt, renderTar(Seq(
           (s"a$idx.txt", words(rng, 40).mkString(" ").getBytes("UTF-8")),
           (s"b$idx.json", renderJson(title, words(rng, 15))))))
+      case "docx" =>
+        GenDoc(id, s"$id.docx", fmt, renderDocx(title, "Gen Author",
+          "2015-09-07T10:57:00",
+          body.split(" ").grouped(12).map(_.mkString(" ")).toSeq.take(200)))
+      case "xlsx" =>
+        GenDoc(id, s"$id.xlsx", fmt,
+          renderXlsx("Sheet1", words(rng, 24).grouped(4).map(_.toSeq).toSeq))
       case "msg" =>
         val subj = title
         def u16(s: String) = s.getBytes("UTF-16LE")

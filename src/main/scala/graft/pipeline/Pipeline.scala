@@ -65,12 +65,17 @@ object Pipeline {
     * (`manager.py:192-241`), convert children to next-level pending rows.
     * Child ids are positional (`parent/idx`) — deterministic, no wall clock. */
   def processOne(p: PendingDoc): DocResult = {
+    val t0 = System.nanoTime()
     val bytes = if (p.bytes == null) Array.empty[Byte] else p.bytes
     val ing = Dispatch.ingest(p.file_name, p.mime_hint, bytes)
     val res = ing.result
     val spans = res.spans.zipWithIndex.map { case (s, i) =>
       SpanOut(p.doc_id, i, s.kind, s.text, s.media_ref, s.offset)
     }
+    // body text rides in the span stream (the reference's indexText
+    // fragments); duplicating it into the metadata row would multiply the
+    // bytes written per snapshot by 3-4x for text-heavy formats
+    val slimProps = res.properties -- Seq("bodyText", "bodyHtml", "headers")
     val children = res.children.zipWithIndex.map { case (c, i) =>
       PendingDoc(s"${p.doc_id}/$i", p.doc_id, p.ancestors :+ p.doc_id,
         p.depth + 1, c.file_name, c.mime_hint, c.bytes)
@@ -82,7 +87,8 @@ object Pipeline {
       processing_error = res.error, file_name = p.file_name,
       file_size = bytes.length.toLong,
       content_hash = TextUtil.sha1Hex(bytes),
-      properties = res.properties)
+      properties = slimProps,
+      duration_ms = (System.nanoTime() - t0) / 1000000L)
     DocResult(meta, spans, children)
   }
 
@@ -199,12 +205,15 @@ object Pipeline {
     * the reference (`manager.py:29-65`) as a plain partial-aggregable
     * groupBy (map-side combine, one small shuffle). */
   def metrics(meta: Dataset[DocMeta]): DataFrame = {
+    val hist = org.apache.spark.sql.functions
+      .udaf(graft.functions.DurationHistogram.agg)
     meta.groupBy(col("ingestor")).agg(
       sum(when(col("processing_status") === ExtractionResult.Success, 1L)
         .otherwise(0L)).as("succeeded"),
       sum(when(col("processing_status") === ExtractionResult.Failure, 1L)
         .otherwise(0L)).as("failed"),
-      sum(col("file_size")).as("bytes"))
+      sum(col("file_size")).as("bytes"),
+      hist(col("duration_ms")).as("duration_hist"))
   }
 
   /** Resume after a kill: drop every pending document whose extraction is

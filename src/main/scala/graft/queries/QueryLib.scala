@@ -58,6 +58,22 @@ object QueryLib extends Serializable {
         val pages = text.split(" ").grouped(10).map(_.mkString(" "))
           .grouped(5).map(_.toSeq).toSeq
         (s"doc$id.pdf", CorpusGen.renderPdf(pages, s"Doc $id"))
+      case "docx" =>
+        val paras = text.split(" ").grouped(12).map(_.mkString(" ")).toSeq
+        (s"doc$id.docx", CorpusGen.renderDocx(s"Doc $id", s"Author $id",
+          "2015-09-07T10:57:00", paras))
+      case "xlsx" =>
+        val rows = text.split(" ").grouped(4).map(_.toSeq).toSeq
+        (s"doc$id.xlsx", CorpusGen.renderXlsx(s"Sheet $id", rows))
+      case "mbox" =>
+        val n = (id % 3 + 1).toInt
+        val msgs = (0 until n).map { i =>
+          (s"From: Alice A <alice@graft.test>\r\n" +
+            s"Subject: Doc $id part $i\r\n" +
+            "Content-Type: text/plain; charset=utf-8\r\n\r\n" +
+            text + "\r\n").getBytes("UTF-8")
+        }
+        (s"doc$id.mbox", CorpusGen.renderMbox(msgs))
       case "zip" =>
         (s"doc$id.zip", CorpusGen.renderZip(Seq(
           ("a.txt", text.getBytes("UTF-8")),

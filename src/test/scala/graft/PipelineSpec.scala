@@ -153,6 +153,10 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(rows("PlainTextIngestor") == (2L, 0L))
     assert(rows("") == (0L, 1L)) // unclassifiable junk
+    // duration histogram (custom Aggregator) counts every doc exactly once
+    val hist = Pipeline.metrics(out.meta).collect()
+      .map(r => r.getString(0) -> r.getMap[String, Long](4)).toMap
+    assert(hist("PlainTextIngestor").values.sum == 2L)
     out.cleanup()
   }
 }
