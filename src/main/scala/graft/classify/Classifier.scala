@@ -309,6 +309,8 @@ object Classifier {
     Entry("OutlookPSTIngestor", 5, Set("application/vnd.ms-outlook"),
       Set("pst", "ost", "pab")),
     Entry("OutlookOLMArchiveIngestor", 10, Set.empty, Set("olm")),
+    Entry("OutlookOLMMessageIngestor", 15,
+      Set("application/xml+opfmessage"), Set.empty),
     Entry("OutlookMsgIngestor", 10,
       Set("application/msg", "application/x-msg", "application/vnd.ms-outlook",
         "msg/rfc822"),

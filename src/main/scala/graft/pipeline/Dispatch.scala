@@ -34,8 +34,8 @@ object Dispatch {
       "Could not unpack the contents of this file."),
     new UnsupportedExtractor("OutlookPSTIngestor", "Package",
       "PST extraction requires readpst; unsupported in this build"),
-    new UnsupportedExtractor("OutlookOLMArchiveIngestor", "Package",
-      "OLM extraction unsupported in this build"),
+    OlmArchiveExtractor,
+    OlmMessageExtractor,
     MsgExtractor,
     EmlExtractor,
     EmlxExtractor,
