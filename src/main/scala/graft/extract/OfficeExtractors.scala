@@ -11,33 +11,44 @@ import HtmlDom._
   * subprocess-free and cluster-safe. */
 object OfficeXml {
 
-  def zipEntry(bytes: Array[Byte], name: String): Option[Array[Byte]] =
-    graft.classify.Classifier.zipEntryBytes(bytes, name)
+  type ZipMap = scala.collection.immutable.ListMap[String, Array[Byte]]
 
-  def zipEntryNames(bytes: Array[Byte]): Vector[String] = {
+  /** One streaming pass over the package: every office extractor needs
+    * several members, and re-scanning the zip per lookup was quadratic. */
+  def readAll(bytes: Array[Byte]): ZipMap = {
     import java.util.zip.ZipInputStream
     val zin = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
-    val names = Vector.newBuilder[String]
+    val out = scala.collection.immutable.ListMap.newBuilder[String, Array[Byte]]
     try {
       var e = zin.getNextEntry
       var guard = 0
-      while (e != null && guard < 10000) {
-        if (!e.isDirectory) names += e.getName
+      var total = 0L
+      while (e != null && guard < PackageLimits.MaxMembers) {
+        if (!e.isDirectory) {
+          val b = PackageLimits.readCapped(zin, PackageLimits.MaxMemberBytes)
+          total += b.length
+          if (total > PackageLimits.MaxTotalBytes)
+            throw new graft.core.ProcessingError("package expands too large")
+          out += (e.getName -> b)
+        }
         guard += 1
         e = zin.getNextEntry
       }
-    } catch { case _: Exception => () } finally zin.close()
-    names.result()
+    } catch {
+      case p: graft.core.ProcessingError => throw p
+      case _: Exception => ()
+    } finally zin.close()
+    out.result()
   }
 
-  def parseXmlEntry(bytes: Array[Byte], name: String): Option[HElem] =
-    zipEntry(bytes, name).flatMap { b =>
+  def parseXmlEntry(entries: ZipMap, name: String): Option[HElem] =
+    entries.get(name).flatMap { b =>
       try Some(XmlExtractor.parseSecure(b)) catch { case _: Exception => None }
     }
 
   /** docProps/core.xml metadata (`support/ooxml.py:22-52`). */
-  def coreProps(bytes: Array[Byte]): Map[String, Seq[String]] = {
-    parseXmlEntry(bytes, "docProps/core.xml") match {
+  def coreProps(entries: ZipMap): Map[String, Seq[String]] = {
+    parseXmlEntry(entries, "docProps/core.xml") match {
       case None => Map.empty
       case Some(root) =>
         def text(tag: String): Option[String] = {
@@ -69,7 +80,8 @@ object OoxmlExtractor extends Extractor {
 
   protected def run(doc: RawDoc): ExtractionResult = {
     import OfficeXml._
-    val props = coreProps(doc.bytes)
+    val entries = readAll(doc.bytes)
+    val props = coreProps(entries)
     val spans = Vector.newBuilder[Span]
     var idx = 0
 
@@ -83,16 +95,16 @@ object OoxmlExtractor extends Extractor {
         }
       }
 
-    parseXmlEntry(doc.bytes, "word/document.xml") match {
+    parseXmlEntry(entries, "word/document.xml") match {
       case Some(root) => paragraphsOf(root, "w:p", "w:t")
       case None =>
         // presentation: one span per slide paragraph
-        val slides = zipEntryNames(doc.bytes)
+        val slides = entries.keys.toVector
           .filter(n => n.startsWith("ppt/slides/slide") && n.endsWith(".xml"))
           .sortBy(n => n.replaceAll("\\D", "").toIntOption.getOrElse(0))
         if (slides.isEmpty)
           throw new ProcessingError("Invalid OOXML package: no document part")
-        for (s <- slides; root <- parseXmlEntry(doc.bytes, s))
+        for (s <- slides; root <- parseXmlEntry(entries, s))
           paragraphsOf(root, "a:p", "a:t")
     }
     ExtractionResult.success(schema, spans.result(), props)
@@ -109,19 +121,20 @@ object XlsxExtractor extends Extractor {
 
   protected def run(doc: RawDoc): ExtractionResult = {
     import OfficeXml._
+    val entries = readAll(doc.bytes)
     val shared: Vector[String] =
-      parseXmlEntry(doc.bytes, "xl/sharedStrings.xml") match {
+      parseXmlEntry(entries, "xl/sharedStrings.xml") match {
         case Some(root) => findAll(root, "si").map(si =>
           allElements(si).filter(_.tag == "t").map(textContent).mkString).toVector
         case None => Vector.empty
       }
     val sheetNames: Vector[String] =
-      parseXmlEntry(doc.bytes, "xl/workbook.xml") match {
+      parseXmlEntry(entries, "xl/workbook.xml") match {
         case Some(root) => findAll(root, "sheet")
           .flatMap(_.attrs.get("name")).toVector
         case None => Vector.empty
       }
-    val sheetFiles = zipEntryNames(doc.bytes)
+    val sheetFiles = entries.keys.toVector
       .filter(n => n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml"))
       .sortBy(n => n.replaceAll("\\D", "").toIntOption.getOrElse(0))
     if (sheetFiles.isEmpty)
@@ -130,7 +143,7 @@ object XlsxExtractor extends Extractor {
     val spans = Vector.newBuilder[Span]
     var rowIdx = 0
     var totalRows = 0
-    for (sf <- sheetFiles; root <- parseXmlEntry(doc.bytes, sf)) {
+    for (sf <- sheetFiles; root <- parseXmlEntry(entries, sf)) {
       for (row <- findAll(root, "row")) {
         val values = findAll(row, "c").map { c =>
           val v = allElements(c).filter(_.tag == "v").map(textContent).mkString
@@ -152,7 +165,7 @@ object XlsxExtractor extends Extractor {
     ExtractionResult.success(schema, spans.result(), Map(
       "sheets" -> sheetNames,
       "rowCount" -> Seq((totalRows + 1).toString)
-    ) ++ coreProps(doc.bytes))
+    ) ++ coreProps(entries))
   }
 }
 
@@ -165,7 +178,8 @@ object OpenDocExtractor extends Extractor {
 
   protected def run(doc: RawDoc): ExtractionResult = {
     import OfficeXml._
-    val root = parseXmlEntry(doc.bytes, "content.xml").getOrElse(
+    val entries = readAll(doc.bytes)
+    val root = parseXmlEntry(entries, "content.xml").getOrElse(
       throw new ProcessingError("Invalid OpenDocument package: no content.xml"))
     val spans = Vector.newBuilder[Span]
     var idx = 0
@@ -176,7 +190,7 @@ object OpenDocExtractor extends Extractor {
         idx += 1
       }
     }
-    val props = parseXmlEntry(doc.bytes, "meta.xml") match {
+    val props = parseXmlEntry(entries, "meta.xml") match {
       case Some(m) =>
         def t(tag: String) = {
           val it = allElements(m).filter(_.tag == tag)
@@ -200,7 +214,8 @@ object OdsExtractor extends Extractor {
 
   protected def run(doc: RawDoc): ExtractionResult = {
     import OfficeXml._
-    val root = parseXmlEntry(doc.bytes, "content.xml").getOrElse(
+    val entries = readAll(doc.bytes)
+    val root = parseXmlEntry(entries, "content.xml").getOrElse(
       throw new ProcessingError("Invalid ODS package: no content.xml"))
     val spans = Vector.newBuilder[Span]
     val sheets = Vector.newBuilder[String]

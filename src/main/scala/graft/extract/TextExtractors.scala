@@ -124,24 +124,33 @@ object XmlExtractor extends Extractor {
       Map("bodyText" -> Seq(text), "bodyHtml" -> Seq(bodyHtml)))
   }
 
+  // DocumentBuilderFactory.newInstance does a service lookup per call —
+  // measurably dominant for small XML docs. One factory+builder per thread.
+  private val builderTL = new ThreadLocal[javax.xml.parsers.DocumentBuilder] {
+    override def initialValue(): javax.xml.parsers.DocumentBuilder = {
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      f.setNamespaceAware(false)
+      f.setValidating(false)
+      try {
+        f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", false)
+        f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+        f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+        f.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
+      } catch { case _: Exception => () }
+      val builder = f.newDocumentBuilder()
+      builder.setEntityResolver(new org.xml.sax.EntityResolver {
+        def resolveEntity(pid: String, sid: String) =
+          new org.xml.sax.InputSource(new java.io.StringReader(""))
+      })
+      builder
+    }
+  }
+
   /** Parse XML with entity/DTD resolution disabled (the reference's
     * "safe parser", `support/xml.py:14-21`) into our HElem tree. */
   def parseSecure(bytes: Array[Byte]): HElem = {
-    import javax.xml.parsers.DocumentBuilderFactory
-    val f = DocumentBuilderFactory.newInstance()
-    f.setNamespaceAware(false)
-    f.setValidating(false)
-    try {
-      f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", false)
-      f.setFeature("http://xml.org/sax/features/external-general-entities", false)
-      f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
-      f.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
-    } catch { case _: Exception => () }
-    val builder = f.newDocumentBuilder()
-    builder.setEntityResolver(new org.xml.sax.EntityResolver {
-      def resolveEntity(pid: String, sid: String) =
-        new org.xml.sax.InputSource(new java.io.StringReader(""))
-    })
+    val builder = builderTL.get()
+    builder.reset()
     val w3c =
       try builder.parse(new java.io.ByteArrayInputStream(bytes))
       catch {
