@@ -140,9 +140,10 @@ object SparkEntry {
       val pending = QueryLib.documents(s, dir)
         .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
-          val fmt = (id % 6) match {
+          val fmt = (id % 9) match {
             case 0 => "html"; case 1 => "csv"; case 2 => "json"
             case 3 => "eml"; case 4 => "txt"; case 5 => "zip"
+            case 6 => "pdf"; case 7 => "docx"; case 8 => "xlsx"
           }
           val (fn, bytes) = QueryLib.render(fmt, id, if (text == null) "" else text)
           graft.core.PendingDoc(id.toString, "", Seq.empty, 0, fn, "", bytes)
@@ -371,15 +372,20 @@ object SparkEntry {
         |ORDER BY doc_id, subject""".stripMargin,
     "x_classify" ->
       """SELECT doc_id,
-        |       CASE doc_id % 6
+        |       CASE doc_id % 9
         |         WHEN 0 THEN 'HTMLIngestor' WHEN 1 THEN 'CSVIngestor'
         |         WHEN 2 THEN 'JSONIngestor' WHEN 3 THEN 'RFC822Ingestor'
         |         WHEN 4 THEN 'PlainTextIngestor' WHEN 5 THEN 'ZipIngestor'
+        |         WHEN 6 THEN 'PDFIngestor' WHEN 7 THEN 'OfficeOpenXMLIngestor'
+        |         WHEN 8 THEN 'ExcelXMLIngestor'
         |       END AS ingestor,
-        |       CASE doc_id % 6
+        |       CASE doc_id % 9
         |         WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/csv'
         |         WHEN 2 THEN 'application/json' WHEN 3 THEN 'message/rfc822'
         |         WHEN 4 THEN 'text/plain' WHEN 5 THEN 'application/zip'
+        |         WHEN 6 THEN 'application/pdf'
+        |         WHEN 7 THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+        |         WHEN 8 THEN 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
         |       END AS mime_type,
         |       'success' AS status
         |FROM documents ORDER BY doc_id""".stripMargin,
