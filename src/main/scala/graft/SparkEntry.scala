@@ -186,7 +186,7 @@ object SparkEntry {
         .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, t) =>
           (id, TextOps.fingerprint(
-            (if (t == null) "" else t).split(" ").toIndexedSeq))
+            graft.core.TextUtil.tokens(if (t == null) "" else t).toIndexedSeq))
         }).toDF("doc_id", "fingerprint")
         .orderBy("doc_id")
     }),
@@ -420,6 +420,32 @@ object SparkEntry {
         |            'for','with','as','at','by','that','this','be','are'], x)))
         |           * 1000 / len(toks)) ELSE 0 END AS BIGINT) AS stopword_ratio_milli
         |FROM t ORDER BY doc_id""".stripMargin,
+    "t_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_transform(toks, s ->
+        |      list_reduce(
+        |        list_prepend(CAST(0 AS HUGEINT),
+        |          list_transform(range(1, len(s) + 1),
+        |            i -> CAST(unicode(s[i]) AS HUGEINT))),
+        |        (acc, c) -> (acc * 31 + c) % 18446744073709551616::HUGEINT)) AS th
+        |  FROM t),
+        |fp AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT), th),
+        |      (acc, x) -> (acc * 1000003 + x) % 18446744073709551616::HUGEINT)
+        |      AS u
+        |  FROM tok)
+        |SELECT doc_id,
+        |       CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+        |                 THEN u - 18446744073709551616::HUGEINT
+        |                 ELSE u END AS BIGINT) AS fingerprint
+        |FROM fp ORDER BY doc_id""".stripMargin,
     "t_minhash_lsh" -> jaccardPairsOracle,
     "t_ngram_jaccard" -> jaccardPairsOracle,
     "e_embed_dups" ->
