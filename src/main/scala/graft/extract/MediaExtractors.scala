@@ -16,9 +16,17 @@ object ImageExtractor extends Extractor {
   val schema = "Image"
   protected def run(doc: RawDoc): ExtractionResult = {
     val ref = sha1Hex(doc.bytes)
+    // EXIF per the reference's mapping (`media/image.py:38-58`):
+    // DateTimeOriginal/DateTime → authoredAt/date, Make/Model → generator
+    val exif = Exif.read(doc.bytes)
+    val props = Map.newBuilder[String, Seq[String]]
+    props += ("contentHash" -> Seq(ref))
+    val gen = (exif.make.toSeq ++ exif.model.toSeq).distinct
+    if (gen.nonEmpty) props += ("generator" -> gen)
+    exif.dateTimeOriginal.foreach(d =>
+      props += ("authoredAt" -> Seq(Exif.exifDateToIso(d))))
     ExtractionResult.success(schema,
-      Vector(Span(SpanKinds.Image, "", ref, 0)),
-      Map("contentHash" -> Seq(ref)))
+      Vector(Span(SpanKinds.Image, "", ref, 0)), props.result())
   }
 }
 
