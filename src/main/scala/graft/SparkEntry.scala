@@ -267,6 +267,17 @@ object SparkEntry {
         .select(col("doc_id"), col("key"), col("freq"))
         .orderBy("doc_id", "key")
     }),
+    "a_chunks" -> ((s, dir) => {
+      // text_chunks (analysis/util.py:17-28) at a visible chunk size
+      import s.implicits._
+      QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          graft.core.TextUtil.textChunks(Seq(if (t == null) "" else t), 100)
+            .zipWithIndex.map { case (c, i) => (id, i, c) }
+        }.toDF("doc_id", "chunk_idx", "chunk")
+        .orderBy("doc_id", "chunk_idx")
+    }),
     "a_mentions" -> ((s, dir) => {
       val spans = QueryLib.documents(s, dir)
         .select(col("doc_id").cast("long").as("doc_id"),
@@ -482,6 +493,14 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, 'user' || (doc_id % 10) || '@example.com' AS email FROM documents
         |) GROUP BY doc_id, email ORDER BY doc_id, key""".stripMargin,
+    "a_chunks" ->
+      """SELECT doc_id,
+        |       CAST(i AS INT) AS chunk_idx,
+        |       substr(text, CAST(i * 100 + 1 AS BIGINT), 100) AS chunk
+        |FROM (SELECT doc_id, text,
+        |             unnest(range(CAST(ceil(length(text) / 100.0) AS BIGINT))) AS i
+        |      FROM documents WHERE length(text) >= 5)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "a_mentions" ->
       """SELECT substr(sha256('mention|' || doc_id || '|emailMentioned|' ||
         |         'user' || doc_id || '@example.com'), 1, 20) AS mention_id,
