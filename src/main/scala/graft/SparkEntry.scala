@@ -68,6 +68,23 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("subject"), col("body"))
         .orderBy("doc_id")
     }),
+    "x_rtf" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "rtf"))
+      out.spans.toDF().filter(col("kind") === "text")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text").as("body"))
+        .orderBy("doc_id")
+    }),
+    "x_targz" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "targz"))
+      val children = out.meta.toDF().filter(col("depth") === 1)
+        .select(col("parent_id").cast("long").as("doc_id"),
+          col("doc_id").as("child_id"), col("file_name"))
+      val body = out.spans.toDF().filter(col("kind") === "text")
+        .select(col("doc_id").as("child_id"), col("text").as("body"))
+      children.join(body, "child_id")
+        .select(col("doc_id"), col("file_name"), col("body"))
+        .orderBy("doc_id", "file_name")
+    }),
     "x_zip_children" -> ((s, dir) => {
       val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "zip"))
       val children = out.meta.toDF().filter(col("depth") === 1)
@@ -351,6 +368,13 @@ object SparkEntry {
       "SELECT doc_id, text AS body FROM documents ORDER BY doc_id",
     "x_eml" ->
       "SELECT doc_id, 'Doc ' || doc_id AS subject, text AS body FROM documents ORDER BY doc_id",
+    "x_rtf" ->
+      "SELECT doc_id, text AS body FROM documents ORDER BY doc_id",
+    "x_targz" ->
+      """SELECT doc_id, 'a.txt' AS file_name, text AS body FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'b.txt' AS file_name, 'copy of doc ' || doc_id AS body FROM documents
+        |ORDER BY doc_id, file_name""".stripMargin,
     "x_zip_children" ->
       """SELECT doc_id, 'a.txt' AS file_name, text AS body FROM documents
         |UNION ALL

@@ -73,6 +73,7 @@ object Classifier {
     if (lower.startsWith("<!doctype html") || lower.startsWith("<html") ||
         lower.startsWith("<head") || lower.startsWith("<body")) return "text/html"
     if (lower.startsWith("<svg")) return "image/svg+xml"
+    if (lower.startsWith("{\\rtf")) return "text/rtf"
     if (lower.startsWith("begin:vcard")) return "text/vcard"
     if (lower.startsWith("begin:vcalendar")) return "text/calendar"
     if (head.startsWith("{") || head.startsWith("[")) {

@@ -159,7 +159,13 @@ object TarExtractor extends Extractor {
 
   protected def run(doc: RawDoc): ExtractionResult = {
     import PackageLimits._
-    val b = doc.bytes
+    // python tarfile reads through gzip transparently, so .tar.gz routes
+    // here (see Classifier.gzipContainsTar) — decompress first
+    val b =
+      if (graft.classify.Classifier.isGzipMagic(doc.bytes))
+        readCapped(new GZIPInputStream(new ByteArrayInputStream(doc.bytes)),
+          MaxTotalBytes)
+      else doc.bytes
     if (b.length < 512 || b.length % 512 != 0 && b.length < 1024)
       throw new ProcessingError("Invalid tar file")
     val children = Vector.newBuilder[ChildDoc]

@@ -16,8 +16,8 @@ object Dispatch {
     HtmlExtractor,
     XmlExtractor,
     PlainTextExtractor,
-    new UnsupportedExtractor("DocumentIngestor", "Pages",
-      "Legacy office conversion requires LibreOffice; unsupported in this build"),
+    RtfExtractor, // DocumentIngestor: RTF handled natively; other legacy
+                  // office formats fail cleanly (LibreOffice out of scope)
     OpenDocExtractor,
     OoxmlExtractor,
     new UnsupportedExtractor("DjVuIngestor", "Pages",

@@ -78,6 +78,16 @@ object QueryLib extends Serializable {
         (s"doc$id.zip", CorpusGen.renderZip(Seq(
           ("a.txt", text.getBytes("UTF-8")),
           ("b.txt", s"copy of doc $id".getBytes("UTF-8")))))
+      case "targz" =>
+        val tar = CorpusGen.renderTar(Seq(
+          ("a.txt", text.getBytes("UTF-8")),
+          ("b.txt", s"copy of doc $id".getBytes("UTF-8"))))
+        (s"doc$id.tar.gz", CorpusGen.renderGzip(tar))
+      case "rtf" =>
+        val esc = text.replace("\\", "\\\\").replace("{", "\\{").replace("}", "\\}")
+        val rtf = "{\\rtf1\\ansi{\\fonttbl{\\f0 Helvetica;}}\\f0\\fs24 " +
+          esc + "\\par}"
+        (s"doc$id.rtf", rtf.getBytes("UTF-8"))
       case other => throw new IllegalArgumentException(s"renderer $other")
     }
 
