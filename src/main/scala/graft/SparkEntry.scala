@@ -188,12 +188,17 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id") +: cols: _*)
         .orderBy("doc_id")
     }),
+    // Accuracy gate for the 26-language detector: each doc carries a
+    // held-out sentence (disjoint from the trigram training paragraphs) in
+    // language ordered(doc_id % 26); the detector must name it exactly.
     "t_lang_id" -> ((s, dir) => {
       import s.implicits._
+      val langs = graft.ops.LangId.ordered
       QueryLib.documents(s, dir)
-        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-        .mapPartitions(_.map { case (id, t) =>
-          (id, TextOps.detectLanguage(if (t == null) "" else t))
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val lang = langs((id % langs.size).toInt)
+          (id, TextOps.detectLanguage(graft.ops.LangId.testSentences(lang)))
         }).toDF("doc_id", "detected_lang")
         .orderBy("doc_id")
     }),
@@ -231,12 +236,20 @@ object SparkEntry {
         .select(col("qid"), col("rank"), col("cid"))
         .orderBy("qid", "rank")
     }),
+    // Planted-neighbor gate: queries are exact-direction copies (×2.0f is
+    // lossless in float) of the first 100 corpus vectors, so each query's
+    // rank-1 neighbor MUST be its planted original (cosine 1.0, identical
+    // signatures in every LSH table) — an exact end-to-end check of the
+    // bucketing + candidate join + rescore path.
     "s_ann_lsh" -> ((s, dir) => {
       val emb = QueryLib.embeddings(s, dir)
-      Similarity.lshTopK(s, emb, emb.filter(col("vec_id") < 20),
-          "vec_id", "embedding", 5)
-        .select(col("qid"), col("rank"), col("cid"))
-        .orderBy("qid", "rank")
+      val planted = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * 2.0f).as("embedding"))
+      Similarity.lshTopK(s, emb, planted, "vec_id", "embedding", 5)
+        .filter(col("rank") === 1)
+        .select(col("qid"), col("cid"))
+        .orderBy("qid")
     }),
     "e_embed_dups" -> ((s, dir) => {
       val emb = QueryLib.embeddings(s, dir)
@@ -320,7 +333,11 @@ object SparkEntry {
       val n = math.max(500L, (CorpusGen.sfFromDir(dir) * 50000L).toLong)
       val (docs, blobs) = CorpusGen.corpus(s, n)
       val out = Pipeline.run(s, Pipeline.initialPending(s, docs, blobs))
-      Pipeline.metrics(out.meta).orderBy("ingestor")
+      // histogram serialized to JSON: the driver's pandas compare cannot
+      // sort raw array columns
+      Pipeline.metrics(out.meta)
+        .withColumn("duration_hist", to_json(col("duration_hist")))
+        .orderBy("ingestor")
     })
   )
 
@@ -483,9 +500,53 @@ object SparkEntry {
         |FROM fp ORDER BY doc_id""".stripMargin,
     "t_minhash_lsh" -> jaccardPairsOracle,
     "t_ngram_jaccard" -> jaccardPairsOracle,
+    // Exhaustive simhash ground truth: FNV-1a (charAt semantics) per token
+    // in HUGEINT mod-2^64 arithmetic, 64-bit majority signature, all pairs
+    // with hamming ≤ 3 — the banded Spark plan must find exactly these
+    // (pigeonhole: ≤3 differing bits ⇒ some 16-bit chunk equal).
+    "t_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |all_docs AS (
+        |  SELECT id, t FROM toks
+        |  UNION ALL
+        |  SELECT id + 10000000 AS id, list_filter(t, (x, i) -> i % 10 != 0) AS t
+        |  FROM toks WHERE len(t) >= 50),
+        |th AS (
+        |  SELECT id, list_transform(t, tok -> list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      list_transform(range(1, len(tok)+1), j -> CAST(unicode(tok[j]) AS HUGEINT))),
+        |    (h, c) -> ((h - (h % 65536) + CAST(xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT)) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |  )) AS ths
+        |  FROM all_docs),
+        |sigs AS (
+        |  SELECT id, list_aggregate(list_transform(range(64), i ->
+        |    CASE WHEN 2 * len(list_filter(ths, h -> (h >> CAST(i AS HUGEINT)) % 2 = 1)) - len(ths) > 0
+        |         THEN (1::HUGEINT << CAST(i AS HUGEINT)) ELSE 0::HUGEINT END), 'sum') AS s
+        |  FROM th),
+        |sb AS (
+        |  SELECT id, CAST(CASE WHEN coalesce(s, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+        |                       THEN s - 18446744073709551616::HUGEINT
+        |                       ELSE coalesce(s, 0::HUGEINT) END AS BIGINT) AS sig
+        |  FROM sigs)
+        |SELECT a.id AS id_a, b.id AS id_b, CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS dist
+        |FROM sb a JOIN sb b ON a.id < b.id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "t_lang_id" -> {
+      val langs = graft.ops.LangId.ordered
+      val cases = langs.zipWithIndex
+        .map { case (l, i) => s"WHEN $i THEN '$l'" }.mkString(" ")
+      s"SELECT doc_id, CASE doc_id % ${langs.size} $cases END AS detected_lang " +
+        "FROM documents ORDER BY doc_id"
+    },
     "e_embed_dups" ->
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings
         |ORDER BY id_a, id_b""".stripMargin,
+    "s_ann_lsh" ->
+      """SELECT vec_id + 1000000 AS qid, vec_id AS cid FROM embeddings
+        |WHERE vec_id < 100 ORDER BY qid""".stripMargin,
     "s_ann_brute" ->
       """WITH v AS (SELECT vec_id, embedding FROM embeddings),
         |scored AS (

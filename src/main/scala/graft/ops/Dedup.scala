@@ -215,20 +215,34 @@ object Dedup {
       .filter($"dist" <= maxDist)
   }
 
-  /** Embedding-cosine near-dup: pairs with cosine ≥ threshold, brute-force
-    * over LSH-style bucketing by sign of random projections. */
+  /** Embedding-cosine near-dup: pairs with cosine ≥ threshold.
+    *
+    * Scale plan: random-hyperplane sign signatures bucket the vectors
+    * (`tables` independent 16-bit bands — near-identical directions share
+    * every band; recall decays with angle, precision is exact because every
+    * candidate is cosine-verified). The bucket self-join is an equi-join on
+    * (table, sig) over (id, table, sig) rows only — vectors never ride the
+    * shuffle and nothing is O(n²); the physical plan is asserted
+    * CartesianProduct/BroadcastNestedLoopJoin-free by OpsSpec. */
   def embeddingDups(spark: SparkSession, emb: DataFrame, idCol: String,
-                    vecCol: String, threshold: Double): DataFrame = {
+                    vecCol: String, threshold: Double,
+                    tables: Int = 8, bits: Int = 16, dim: Int = 64): DataFrame = {
     import spark.implicits._
-    val v = emb.select(col(idCol).cast("long").as("id"),
+    val banded = Similarity.bandIds(spark, emb, idCol, vecCol, tables, bits,
+      dim, seed = 0x452821e638d01377L)
+    // rename per side: alias-only self-joins misresolve (same attribute ids)
+    val l = banded.toDF("id_a", "table", "sig")
+    val r = banded.toDF("id_b", "table", "sig")
+    val cands = l.join(r, Seq("table", "sig"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b")
+      .distinct()
+    val vecs = emb.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val norm = v.withColumn("n", sqrt(aggregate($"v", lit(0.0), (a, x) => a + x * x)))
-    val l = norm.toDF("id_a", "v_a", "n_a")
-    val r = norm.toDF("id_b", "v_b", "n_b")
-    l.join(r, $"id_a" < $"id_b")
-      .withColumn("dot", aggregate(zip_with($"v_a", $"v_b", (a, b) => a * b),
-        lit(0.0), (a, x) => a + x))
-      .withColumn("cosine", $"dot" / ($"n_a" * $"n_b"))
+    cands
+      .join(vecs.toDF("id_a", "v_a"), "id_a")
+      .join(vecs.toDF("id_b", "v_b"), "id_b")
+      .withColumn("cosine", Similarity.cosineCol($"v_a", $"v_b"))
       .filter($"cosine" >= threshold)
       .select($"id_a", $"id_b", $"cosine")
   }

@@ -49,40 +49,12 @@ object TextOps {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on",
     "for", "with", "as", "at", "by", "that", "this", "be", "are")
 
-  /** Character-n-gram language ID (the public langid/fastText technique,
-    * standing in for the reference's fastText lid.176 call at
-    * `/root/reference/ingestors/analysis/language.py:10-26`): score each
-    * language by hits of its distinctive trigrams + marker words; argmax
-    * with a confidence floor, else "und". Pure scala function usable in a
-    * map stage. */
-  val langMarkers: Map[String, Seq[String]] = Map(
-    "en" -> Seq(" the ", " and ", " of ", " is ", " that ", " with "),
-    "de" -> Seq(" der ", " die ", " und ", " ist ", " nicht ", " das ", " ein "),
-    "fr" -> Seq(" le ", " la ", " les ", " est ", " une ", " dans ", " et "),
-    "es" -> Seq(" el ", " los ", " es ", " una ", " por ", " que ", " con "),
-    "it" -> Seq(" il ", " che ", " di ", " non ", " per ", " sono "),
-    "pt" -> Seq(" o ", " que ", " não ", " uma ", " com ", " para "),
-    "nl" -> Seq(" de ", " het ", " een ", " van ", " niet ", " met "),
-    "ru" -> Seq(" и ", " не ", " что ", " это ", " как "),
-    "zh" -> Seq("的", "是", "不", "了", "在"))
-
-  def detectLanguage(text: String, threshold: Double = 0.3): String = {
-    if (text == null || text.length < 10) return "und"
-    val padded = " " + text.toLowerCase + " "
-    var bestLang = "und"
-    var bestScore = 0
-    var total = 0
-    for ((lang, markers) <- langMarkers.toSeq.sortBy(_._1)) {
-      var score = 0
-      for (m <- markers) {
-        var idx = padded.indexOf(m)
-        while (idx >= 0) { score += 1; idx = padded.indexOf(m, idx + 1) }
-      }
-      total += score
-      if (score > bestScore) { bestScore = score; bestLang = lang }
-    }
-    if (total == 0 || bestScore.toDouble / math.max(total, 1) < threshold) "und"
-    else bestLang
+  /** Language ID over 26 languages: script vote + Cavnar–Trenkle trigram
+    * profiles (see [[LangId]]), standing in for the reference's fastText
+    * lid.176 call at `/root/reference/ingestors/analysis/language.py:10-26`.
+    * Pure scala function usable in a map stage. */
+  def detectLanguage(text: String): String = {
+    if (text == null || text.length < 10) "und" else LangId.detect(text)
   }
 
   /** 64-bit rolling-hash document fingerprint over tokens (Rabin-style

@@ -143,10 +143,14 @@ object Pipeline {
     // the driver-side serial floor per iteration is what limits scaling.
     var cnt = initialStats.map(_._1).getOrElse(-1L)
     var totalBytes = initialStats.map(_._2).getOrElse(-1L)
+    // only unpersist datasets this loop persisted — a caller-supplied cached
+    // pending0 (e.g. Bench's reused corpus) must survive run()
+    var persistedByUs = false
     while (n != 0 && depth <= cfg.maxDepth) {
       var t = System.nanoTime()
       if (cnt < 0) { // depth 0: stats unknown, one aggregate scan
         val cur = pending.persist(StorageLevel.MEMORY_AND_DISK_SER)
+        persistedByUs = true
         val agg = cur.select(count(lit(1)).as("c"),
           coalesce(sum(length($"bytes")), lit(0L)).as("b")).as[(Long, Long)].head()
         cnt = agg._1
@@ -176,7 +180,7 @@ object Pipeline {
         // (measured 23s of pauses vs 1.2s at 8 threads).
         val results = extracted.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
         t = stamp(s"depth=$depth extract+checkpoint", t)
-        pending.unpersist(false)
+        if (persistedByUs) { pending.unpersist(false); persistedByUs = false }
         persisted += results
         spanParts += results.flatMap(_.spans)
         metaParts += results.map(_.meta)
@@ -231,26 +235,34 @@ object Pipeline {
   }
 
   /** Dedup-by-content-hash plan: extract each distinct payload once, then
-    * broadcast the results back over the duplicate set — the reference's
+    * map the results back over the duplicate set — the reference's
     * conversion/OCR caches keyed by content hash
     * (`support/convert.py:27-45`, `support/ocr.py:28-45`). Returns the
-    * deduplicated pending set + the (doc_id → representative) mapping. */
+    * deduplicated pending set + the (doc_id → representative) mapping.
+    *
+    * Shuffle discipline: payload bytes never move. The hash is computed in
+    * the narrow projection stage; only (content_hash, doc_id) rows enter
+    * the groupBy, and the winner-id set joins back to the payload rows as a
+    * broadcast semi-join (id column only), so the pending partitions stay
+    * in place. At true 100 TB the broadcast winner set is replaced by a
+    * bucketed storage join on doc_id — same logical plan, the physical join
+    * strategy flips with the table layout. */
   def dedupByContent(spark: SparkSession, pending: Dataset[PendingDoc])
       : (Dataset[PendingDoc], DataFrame) = {
     import spark.implicits._
-    val withHash = pending.withColumn("content_hash",
-      sha1(coalesce(col("bytes"), lit(Array.empty[Byte]))))
-    val reps = withHash
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"content_hash").orderBy($"doc_id")))
-    val mapping = reps.select($"doc_id", $"content_hash",
-      first($"doc_id").over(org.apache.spark.sql.expressions.Window
-        .partitionBy($"content_hash").orderBy($"doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.unboundedFollowing))
-        .as("representative"))
-    val deduped = reps.filter($"rn" === 1).drop("rn", "content_hash").as[PendingDoc]
+    val hashed = pending
+      .select($"doc_id", sha1(coalesce($"bytes", lit(Array.empty[Byte])))
+        .as("content_hash"))
+    val mapping = hashed
+      .groupBy($"content_hash")
+      .agg(min($"doc_id").as("representative"))
+      .join(hashed, "content_hash")
+      .select($"doc_id", $"content_hash", $"representative")
+    val winners = mapping.filter($"doc_id" === $"representative")
+      .select($"doc_id")
+    val deduped = pending
+      .join(broadcast(winners), Seq("doc_id"), "left_semi")
+      .as[PendingDoc]
     (deduped, mapping)
   }
 }

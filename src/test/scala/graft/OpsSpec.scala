@@ -103,6 +103,38 @@ class OpsSpec extends AnyFunSuite {
     assert((brute & lsh).size >= 5, s"recall too low: ${(brute & lsh).size}/25")
   }
 
+  test("embedding dedup: banded plan finds planted pairs, no cartesian join") {
+    val rng = new graft.corpus.CorpusGen.Rng(11)
+    val vecs = (0L until 100L).map(i =>
+      (i, Array.fill(16)(rng.nextDouble().toFloat)))
+    val planted = vecs.map { case (i, v) => (i + 1000L, v.map(_ * 2.0f)) }
+    val df = (vecs ++ planted).toDF("vec_id", "embedding")
+    val dups = Dedup.embeddingDups(spark, df, "vec_id", "embedding", 0.9999, dim = 16)
+    val plan = dups.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    val pairs = dups.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == vecs.map { case (i, _) => (i, i + 1000L) }.toSet)
+  }
+
+  test("lsh ANN bucket join shuffles ids only (no vector in the exchange)") {
+    val rng = new graft.corpus.CorpusGen.Rng(13)
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.fill(16)(rng.nextDouble().toFloat))).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(spark, vecs, vecs.filter($"vec_id" < 3),
+      "vec_id", "embedding", 3, dim = 16)
+    // the (table, sig) bucket join must join id columns only; vectors appear
+    // exclusively in the later per-side fetch joins
+    val smj = out.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Join") && l.contains("table") && l.contains("sig"))
+      .mkString("\n")
+    assert(smj.nonEmpty, "bucket join not found in plan")
+    assert(!smj.contains("cv") && !smj.contains("qv"),
+      s"vectors ride the bucket join:\n$smj")
+    assert(out.count() > 0)
+  }
+
   test("language id: distinctive marker words win; short text is und") {
     assert(TextOps.detectLanguage("der hund ist nicht in das haus und der garten") == "de")
     assert(TextOps.detectLanguage("le chat est dans la maison et le jardin") == "fr")

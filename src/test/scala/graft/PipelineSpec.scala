@@ -125,6 +125,10 @@ class PipelineSpec extends AnyFunSuite {
     val m = mapping.collect().map(r => r.getString(0) -> r.getString(2)).toMap
     assert(m("b") == "a") // representative = smallest doc_id
     assert(m("c") == "c")
+    // payload bytes must not shuffle: winner ids broadcast back, no window
+    val plan = deduped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
   }
 
   test("resume: committed docs are skipped, failures are retried (left_anti recovery)") {
