@@ -79,13 +79,25 @@ object Cfbf {
 
     def chain(start: Int): Vector[Int] = {
       val out = Vector.newBuilder[Int]
+      // cycle + amplification guard: a legitimate chain can't revisit a
+      // sector or contain more sectors than the file holds — crafted
+      // cyclic/self-referencing FATs otherwise amplify a small input into
+      // fat.length × sectorSize of output
+      val seen = new java.util.BitSet(fat.length)
+      val maxSectors = bytes.length / sectorSize + 2
       var sid = start
-      var guard = 0
-      while (sid != EndOfChain && sid != FreeSect && sid >= 0 &&
-             guard <= fat.length + 2) {
+      var n = 0
+      while (sid != EndOfChain && sid != FreeSect && sid >= 0) {
+        if (n > maxSectors)
+          throw new ProcessingError("Corrupt OLE: FAT chain exceeds file size")
+        if (sid < fat.length) {
+          if (seen.get(sid))
+            throw new ProcessingError("Corrupt OLE: cyclic FAT chain")
+          seen.set(sid)
+        }
         out += sid
         sid = if (sid < fat.length) fat(sid) else EndOfChain
-        guard += 1
+        n += 1
       }
       out.result()
     }
@@ -126,13 +138,22 @@ object Cfbf {
     val miniFatBytes = readChain(firstMiniFat)
     def miniChain(start: Int): Vector[Int] = {
       val out = Vector.newBuilder[Int]
-      var sid = start
-      var guard = 0
       val n = miniFatBytes.length / 4
-      while (sid != EndOfChain && sid != FreeSect && sid >= 0 && guard <= n + 2) {
+      val seen = new java.util.BitSet(n)
+      val maxSectors = miniStream.length / math.max(miniSize, 1) + 2
+      var sid = start
+      var cnt = 0
+      while (sid != EndOfChain && sid != FreeSect && sid >= 0) {
+        if (cnt > maxSectors)
+          throw new ProcessingError("Corrupt OLE: miniFAT chain exceeds ministream")
+        if (sid < n) {
+          if (seen.get(sid))
+            throw new ProcessingError("Corrupt OLE: cyclic miniFAT chain")
+          seen.set(sid)
+        }
         out += sid
         sid = if (sid < n) i32(miniFatBytes, sid * 4) else EndOfChain
-        guard += 1
+        cnt += 1
       }
       out.result()
     }

@@ -28,6 +28,12 @@ trait Extractor extends Serializable {
       case e: Exception =>
         // total-ness guarantee: arbitrary bytes never break the pipeline
         ExtractionResult.failure(schema, s"unexpected: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      case e: StackOverflowError =>
+        // input-controlled recursion depth (nested JSON/XML/PDF/MIME) is an
+        // Error, not an Exception — without this the Spark task dies and
+        // one crafted payload kills the job. The stack has unwound by the
+        // time we're here, so building the failure row is safe.
+        ExtractionResult.failure(schema, "unexpected: StackOverflowError: nesting too deep")
     }
 }
 

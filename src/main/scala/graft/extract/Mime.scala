@@ -67,14 +67,19 @@ object Mime {
     parseString(raw)
   }
 
-  private def parseString(raw: String): Part = {
+  /** Multipart nesting bound — real mail is < 10 deep; a crafted payload
+    * with thousands of nested multiparts otherwise recurses past the task
+    * stack. */
+  private val MaxMultipartDepth = 50
+
+  private def parseString(raw: String, depth: Int = 0): Part = {
     val (headerBlock, body) = splitHeadersBody(raw)
     val headers = unfoldHeaders(headerBlock)
     val part = Part(headers, body.getBytes(StandardCharsets.ISO_8859_1), Vector.empty)
-    if (part.isMultipart) {
+    if (part.isMultipart && depth < MaxMultipartDepth) {
       part.param("boundary") match {
         case Some(b) if b.nonEmpty =>
-          val subs = splitMultipartRaw(body, b).map(parseString)
+          val subs = splitMultipartRaw(body, b).map(parseString(_, depth + 1))
           part.copy(subParts = subs)
         case _ => part
       }

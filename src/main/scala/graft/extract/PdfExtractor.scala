@@ -49,6 +49,7 @@ object PdfExtractor extends Extractor {
 
   private final class Lexer(val s: String) {
     var i = 0
+    var depth = 0 // container-nesting counter, bounded in parseVal
     val n: Int = s.length
     def ws(): Unit = {
       var go = true
@@ -63,26 +64,34 @@ object PdfExtractor extends Extractor {
     def startsWith(t: String): Boolean = s.startsWith(t, i)
   }
 
-  /** Parse one PDF value at lexer position. */
+  /** Parse one PDF value at lexer position. Container nesting is bounded:
+    * a ~100 KB payload of nested `[[[[...` otherwise recurses past the
+    * task stack (StackOverflowError escapes the Exception-only totality
+    * wrapper). */
   private def parseVal(lx: Lexer): PVal = {
     lx.ws()
-    val c = lx.peek
-    if (lx.startsWith("<<")) parseDict(lx)
-    else if (c == '<') parseHexString(lx)
-    else if (c == '(') parseLiteralString(lx)
-    else if (c == '/') parseName(lx)
-    else if (c == '[') {
-      lx.i += 1
-      val items = Vector.newBuilder[PVal]
-      lx.ws()
-      while (lx.peek != ']' && lx.i < lx.n) { items += parseVal(lx); lx.ws() }
-      lx.i += 1
-      PArr(items.result())
-    }
-    else if (lx.startsWith("true")) { lx.i += 4; PBool(true) }
-    else if (lx.startsWith("false")) { lx.i += 5; PBool(false) }
-    else if (lx.startsWith("null")) { lx.i += 4; PNull }
-    else parseNumberOrRef(lx)
+    lx.depth += 1
+    if (lx.depth > 300)
+      throw new ProcessingError("PDF value nesting too deep")
+    try {
+      val c = lx.peek
+      if (lx.startsWith("<<")) parseDict(lx)
+      else if (c == '<') parseHexString(lx)
+      else if (c == '(') parseLiteralString(lx)
+      else if (c == '/') parseName(lx)
+      else if (c == '[') {
+        lx.i += 1
+        val items = Vector.newBuilder[PVal]
+        lx.ws()
+        while (lx.peek != ']' && lx.i < lx.n) { items += parseVal(lx); lx.ws() }
+        lx.i += 1
+        PArr(items.result())
+      }
+      else if (lx.startsWith("true")) { lx.i += 4; PBool(true) }
+      else if (lx.startsWith("false")) { lx.i += 5; PBool(false) }
+      else if (lx.startsWith("null")) { lx.i += 4; PNull }
+      else parseNumberOrRef(lx)
+    } finally lx.depth -= 1
   }
 
   private def parseName(lx: Lexer): PName = {
@@ -280,21 +289,36 @@ object PdfExtractor extends Extractor {
     i
   }
 
-  def inflate(raw: Array[Byte]): Array[Byte] = {
+  /** Inflate with an output cap: a crafted deflate bomb expands ~1000x per
+    * level, so uncapped decompression OOMs the executor JVM. Exceeding the
+    * cap is a ProcessingError (→ failure row), mirroring the zip/gzip
+    * paths' PackageLimits.readCapped. Truncated/corrupt streams still
+    * return the bytes produced so far (partial text beats none). */
+  def inflate(raw: Array[Byte], cap: Long = PackageLimits.MaxMemberBytes): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(raw)
-    val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+    val out = new java.io.ByteArrayOutputStream(math.min(raw.length.toLong * 4, 1 << 20).toInt)
     val buf = new Array[Byte](8192)
     try {
       var done = false
       while (!done && !inf.finished()) {
         val k = inf.inflate(buf)
-        if (k > 0) out.write(buf, 0, k)
-        else done = true
+        if (k > 0) {
+          if (out.size.toLong + k > cap)
+            throw new ProcessingError("FlateDecode output exceeds size cap")
+          out.write(buf, 0, k)
+        } else done = true
       }
-    } catch { case _: Exception => () } finally inf.end()
+    } catch {
+      case e: ProcessingError => throw e
+      case _: Exception => ()
+    } finally inf.end()
     out.toByteArray
   }
+
+  /** Max filter applications per stream — repeated /Fl entries otherwise
+    * multiply the bomb cap per level. */
+  private val MaxFilterChain = 4
 
   def decodeStream(doc: PdfDoc, st: PStream): Array[Byte] = {
     val filters: Seq[String] = doc.resolve(st.dict.m.getOrElse("Filter", PNull)) match {
@@ -302,7 +326,7 @@ object PdfExtractor extends Extractor {
       case PArr(items) => items.collect { case PName(f) => f }
       case _ => Seq.empty
     }
-    filters.foldLeft(st.raw) { (bytes, f) =>
+    filters.take(MaxFilterChain).foldLeft(st.raw) { (bytes, f) =>
       f match {
         case "FlateDecode" | "Fl" => inflate(bytes)
         case _ => bytes // unsupported filter: pass through (text ops absent)

@@ -160,13 +160,15 @@ object XmlExtractor extends Extractor {
     convert(w3c.getDocumentElement)
   }
 
-  private def convert(el: org.w3c.dom.Element): HElem = {
+  private def convert(el: org.w3c.dom.Element, depth: Int = 0): HElem = {
+    if (depth > 200)
+      throw new ProcessingError("Failed to parse XML: nesting too deep")
     val kids = Vector.newBuilder[HNode]
     val nl = el.getChildNodes
     var i = 0
     while (i < nl.getLength) {
       nl.item(i) match {
-        case e: org.w3c.dom.Element => kids += convert(e)
+        case e: org.w3c.dom.Element => kids += convert(e, depth + 1)
         case t: org.w3c.dom.Text =>
           val s = t.getData
           if (s != null && s.nonEmpty) kids += HText(s)
@@ -269,11 +271,16 @@ object JsonMini {
       if (i >= n || s.charAt(i) != c) fail(s"expected '$c'")
       i += 1
     }
+    var depth = 0
+    private def enter(): Unit = {
+      depth += 1
+      if (depth > 500) fail("nesting too deep")
+    }
     def value(): Any = {
       if (i >= n) fail("eof")
       s.charAt(i) match {
-        case '{' => obj()
-        case '[' => arr()
+        case '{' => enter(); val r = obj(); depth -= 1; r
+        case '[' => enter(); val r = arr(); depth -= 1; r
         case '"' => str()
         case 't' => lit("true", java.lang.Boolean.TRUE)
         case 'f' => lit("false", java.lang.Boolean.FALSE)

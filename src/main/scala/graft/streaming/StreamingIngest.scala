@@ -13,8 +13,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * re-expression is a micro-batched source of raw documents where each
   * batch runs the full iterative extraction DAG via foreachBatch — child
   * documents recurse *within* the batch (bounded archive depth), so the
-  * stream never needs cyclic state. Sinks are append-only parquet/Iceberg
-  * tables; exactly-once comes from the sink's idempotent batchId handling.
+  * stream never needs cyclic state. Sinks are batch_id-partitioned parquet
+  * tables written with dynamic partition overwrite: a batch replayed after
+  * a failure rewrites exactly its own partition, so the output is
+  * idempotent per batchId (effective exactly-once for downstream readers;
+  * with an Iceberg sink the same contract comes from the snapshot commit).
   */
 object StreamingIngest {
 
@@ -31,10 +34,21 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val pending = batch.as[PendingDoc]
         val out = Pipeline.run(spark, pending)
-        out.spans.write.mode("append").parquet(spansOut)
+        // dynamic overwrite of THIS batch's partition only — replays after
+        // a checkpoint-recovery rewrite the same directory instead of
+        // appending duplicates
+        out.spans.toDF()
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(spansOut)
         out.meta.toDF()
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(metaOut)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(metaOut)
         out.cleanup()
         ()
       }

@@ -1,0 +1,115 @@
+package graft
+
+import graft.core.ExtractionResult
+import graft.extract._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial-input hardening: decompression bombs, pathological nesting,
+  * and cyclic container structures must come back as failure rows (or
+  * bounded successes) — never an OOM, StackOverflowError, or runaway
+  * allocation that kills the Spark task. */
+class RobustnessSpec extends AnyFunSuite {
+
+  private def total(r: ExtractionResult): Unit =
+    assert(r.status == ExtractionResult.Success ||
+      r.status == ExtractionResult.Failure, r.status)
+
+  test("deeply nested JSON is a failure row, not a StackOverflowError") {
+    val bomb = ("[" * 200000).getBytes("UTF-8")
+    val r = JsonExtractor.extract(RawDoc("d", "bomb.json", "application/json", bomb))
+    assert(r.status == ExtractionResult.Failure)
+  }
+
+  test("deeply nested PDF arrays are bounded") {
+    val body = "%PDF-1.4\n1 0 obj\n" + ("[" * 150000) + ("]" * 150000) +
+      "\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF"
+    val r = PdfExtractor.extract(RawDoc("d", "bomb.pdf", "application/pdf",
+      body.getBytes("ISO-8859-1")))
+    total(r)
+  }
+
+  test("deeply nested XML is a failure row") {
+    val n = 5000
+    val bomb = ("<?xml version=\"1.0\"?>" + ("<a>" * n) + "x" + ("</a>" * n))
+      .getBytes("UTF-8")
+    val r = XmlExtractor.extract(RawDoc("d", "bomb.xml", "application/xml", bomb))
+    total(r)
+  }
+
+  test("deeply nested multipart MIME is depth-bounded") {
+    val depth = 500
+    val sb = new StringBuilder
+    sb.append("From: a@b.c\r\nSubject: bomb\r\n")
+    for (i <- 0 until depth)
+      sb.append(s"""Content-Type: multipart/mixed; boundary="b$i"\r\n\r\n--b$i\r\n""")
+    sb.append("Content-Type: text/plain\r\n\r\nleaf\r\n")
+    val r = EmlExtractor.extract(RawDoc("d", "bomb.eml", "message/rfc822",
+      sb.toString.getBytes("UTF-8")))
+    total(r)
+  }
+
+  test("PDF deflate bomb hits the output cap instead of inflating 100MB+") {
+    // ~128 MiB of zeros deflates to ~127 KiB (>1000x ratio)
+    val zeros = new Array[Byte](128 * 1024 * 1024)
+    val deflater = new java.util.zip.Deflater(9)
+    deflater.setInput(zeros); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](65536)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val stream = out.toByteArray
+    assert(stream.length < 1024 * 1024)
+    intercept[graft.core.ProcessingError](PdfExtractor.inflate(stream))
+    // end-to-end: a PDF page carrying the bomb stream is a failure row
+    val head = "%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${stream.length} /Filter /FlateDecode >> stream\n"
+    val tail = "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF"
+    val pdf = new java.io.ByteArrayOutputStream()
+    pdf.write(head.getBytes("ISO-8859-1"))
+    pdf.write(stream)
+    pdf.write(tail.getBytes("ISO-8859-1"))
+    val r = PdfExtractor.extract(RawDoc("d", "bomb.pdf", "application/pdf",
+      pdf.toByteArray))
+    assert(r.status == ExtractionResult.Failure, r.error)
+  }
+
+  test("cyclic CFBF FAT chain aborts instead of amplifying") {
+    // minimal CFBF: 512B header, sector 0 = FAT, directory chain 1 -> 1 (cycle)
+    val bytes = new Array[Byte](512 * 3)
+    val sig = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
+      .map(_.toByte)
+    System.arraycopy(sig, 0, bytes, 0, 8)
+    def putI32(off: Int, v: Int): Unit = {
+      bytes(off) = (v & 0xff).toByte
+      bytes(off + 1) = ((v >> 8) & 0xff).toByte
+      bytes(off + 2) = ((v >> 16) & 0xff).toByte
+      bytes(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def putI16(off: Int, v: Int): Unit = {
+      bytes(off) = (v & 0xff).toByte
+      bytes(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    putI16(30, 9)     // sector shift: 512
+    putI16(32, 6)     // mini sector shift: 64
+    putI32(44, 1)     // number of FAT sectors
+    putI32(48, 1)     // first directory sector = sid 1
+    putI32(56, 4096)  // mini cutoff
+    putI32(60, -2)    // no miniFAT
+    putI32(68, -2)    // no DIFAT chain
+    putI32(72, 0)
+    putI32(76, 0)     // DIFAT[0]: FAT lives in sector 0
+    for (k <- 1 until 109) putI32(76 + 4 * k, -1)
+    // FAT sector (sid 0): fat[0] = FATSECT marker, fat[1] = 1 (self-cycle)
+    putI32(512, -3)
+    putI32(516, 1)
+    for (k <- 2 until 128) putI32(512 + 4 * k, -1)
+    intercept[graft.core.ProcessingError](Cfbf.parse(bytes))
+    // and through the extractor: failure row, not a hang/OOM
+    val r = MsgExtractor.extract(RawDoc("d", "cyc.msg",
+      "application/vnd.ms-outlook", bytes))
+    assert(r.status == ExtractionResult.Failure)
+  }
+}
