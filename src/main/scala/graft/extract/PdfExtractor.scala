@@ -362,23 +362,121 @@ object PdfExtractor extends Extractor {
       .filter(_.m.get("Type").contains(PName("Page")))
   }
 
+  // ---- fonts / ToUnicode CMaps ----------------------------------------------
+
+  /** A page font as the text interpreter needs it: code width (Type0 =
+    * 2-byte CIDs) and the ToUnicode code→text mapping. Real-world PDFs
+    * embed subset fonts whose string bytes are glyph ids, not characters —
+    * without the CMap the extracted "text" is cipher noise. */
+  final case class PdfFont(codeBytes: Int, toUnicode: Map[Int, String])
+
+  private val BfChar = """(?s)beginbfchar(.*?)endbfchar""".r
+  private val BfRange = """(?s)beginbfrange(.*?)endbfrange""".r
+  private val HexTok = """<([0-9A-Fa-f]+)>""".r
+  private val RangeArr = """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]""".r
+  private val RangeOne = """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
+
+  private def hexText(h: String): String = {
+    // dst hex is UTF-16BE text (possibly multi-char)
+    val clean = if (h.length % 4 == 0) h else h.reverse.padTo(4 * ((h.length + 3) / 4), '0').reverse
+    (0 until clean.length / 4).map { k =>
+      Integer.parseInt(clean.substring(4 * k, 4 * k + 4), 16).toChar
+    }.mkString
+  }
+
+  /** Parse a ToUnicode CMap stream: bfchar pairs + bfrange spans. */
+  private[extract] def parseToUnicode(s: String): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    for (m <- BfChar.findAllMatchIn(s)) {
+      val toks = HexTok.findAllMatchIn(m.group(1)).map(_.group(1)).toVector
+      var k = 0
+      while (k + 1 < toks.length) {
+        try out += (Integer.parseInt(toks(k), 16) -> hexText(toks(k + 1)))
+        catch { case _: Exception => () }
+        k += 2
+      }
+    }
+    for (m <- BfRange.findAllMatchIn(s)) {
+      val body = m.group(1)
+      for (r <- RangeArr.findAllMatchIn(body)) {
+        try {
+          val lo = Integer.parseInt(r.group(1), 16)
+          val dsts = HexTok.findAllMatchIn(r.group(3)).map(_.group(1)).toVector
+          dsts.zipWithIndex.foreach { case (d, k) => out += (lo + k -> hexText(d)) }
+        } catch { case _: Exception => () }
+      }
+      for (r <- RangeOne.findAllMatchIn(body)) {
+        try {
+          val lo = Integer.parseInt(r.group(1), 16)
+          val hi = Integer.parseInt(r.group(2), 16)
+          val dst = hexText(r.group(3))
+          if (hi - lo < 65536 && dst.nonEmpty) {
+            val base = dst.last.toInt
+            val prefix = dst.dropRight(1)
+            var c = lo
+            while (c <= hi) {
+              out += (c -> (prefix + (base + (c - lo)).toChar))
+              c += 1
+            }
+          }
+        } catch { case _: Exception => () }
+      }
+    }
+    out.result()
+  }
+
+  /** Page font resources: /Resources (page or Pages-tree fallback) → /Font. */
+  private def fontsOf(doc: PdfDoc, page: PDict, fallback: Option[PDict]): Map[String, PdfFont] = {
+    val res = doc.dictOf(page.m.getOrElse("Resources", PNull))
+      .orElse(fallback.flatMap(p => doc.dictOf(p.m.getOrElse("Resources", PNull))))
+    val fontDict = res.flatMap(r => doc.dictOf(r.m.getOrElse("Font", PNull)))
+    fontDict.map(_.m.flatMap { case (fname, fref) =>
+      doc.dictOf(fref).map { f =>
+        val type0 = f.m.get("Subtype").contains(PName("Type0"))
+        val toUni = doc.resolve(f.m.getOrElse("ToUnicode", PNull)) match {
+          case st: PStream =>
+            parseToUnicode(new String(decodeStream(doc, st), StandardCharsets.ISO_8859_1))
+          case _ => Map.empty[Int, String]
+        }
+        fname -> PdfFont(if (type0) 2 else 1, toUni)
+      }
+    }.toMap).getOrElse(Map.empty)
+  }
+
   // ---- content-stream text interpreter --------------------------------------
 
   /** Extract text from one page's content bytes: text-showing operators in
-    * stream order, newline when the text cursor moves vertically. */
-  def pageText(content: String): String = {
+    * stream order, newline when the text cursor moves vertically; string
+    * bytes decoded through the current font's ToUnicode CMap when present. */
+  def pageText(content: String, fonts: Map[String, PdfFont] = Map.empty): String = {
     val lx = new Lexer(content)
     val lines = Vector.newBuilder[String]
     val cur = new StringBuilder
     val operands = mutable.ArrayBuffer.empty[PVal]
     var inText = false
+    var font: PdfFont = PdfFont(1, Map.empty)
     def breakLine(): Unit = {
       if (cur.nonEmpty) { lines += cur.toString; cur.clear() }
     }
+    def appendDecoded(t: String): Unit = {
+      if (font.toUnicode.isEmpty) { cur.append(t); return }
+      val step = font.codeBytes
+      var k = 0
+      while (k + step <= t.length) {
+        val code =
+          if (step == 2) (t.charAt(k) << 8) | (t.charAt(k + 1) & 0xff)
+          else t.charAt(k) & 0xff
+        font.toUnicode.get(code) match {
+          case Some(u) => cur.append(u)
+          case None => if (step == 1) cur.append(t.charAt(k))
+        }
+        k += step
+      }
+    }
     def showString(v: PVal): Unit = v match {
-      case PStr(t) => cur.append(t)
+      case PStr(t) => appendDecoded(t)
       case PArr(items) => items.foreach {
-        case PStr(t) => cur.append(t)
+        case PStr(t) => appendDecoded(t)
         case PNum(adj) => if (adj < -150) cur.append(' ') // big negative kern ≈ space
         case _ => ()
       }
@@ -412,6 +510,11 @@ object PdfExtractor extends Extractor {
               breakLine()
               if (inText) operands.lastOption.foreach(showString)
             case "TJ" => if (inText) operands.lastOption.foreach(showString)
+            case "Tf" =>
+              if (operands.length >= 2) operands(operands.length - 2) match {
+                case PName(fn) => font = fonts.getOrElse(fn, PdfFont(1, Map.empty))
+                case _ => ()
+              }
             case _ => ()
           }
           operands.clear()
@@ -446,6 +549,10 @@ object PdfExtractor extends Extractor {
       if (pages.isEmpty)
         throw new ProcessingError("Could not extract PDF file: no pages")
       val spans = Vector.newBuilder[Span]
+      // Pages-tree root: fallback for inherited /Resources
+      val topPages = doc.trailers.flatMap(_.m.get("Root"))
+        .flatMap(doc.dictOf).headOption
+        .flatMap(r => r.m.get("Pages")).flatMap(doc.dictOf)
       pages.zipWithIndex.foreach { case (pg, idx) =>
         val contents: Vector[PStream] = doc.resolve(pg.m.getOrElse("Contents", PNull)) match {
           case st: PStream => Vector(st)
@@ -457,7 +564,7 @@ object PdfExtractor extends Extractor {
         }
         val content = contents.map(st =>
           new String(decodeStream(doc, st), StandardCharsets.ISO_8859_1)).mkString("\n")
-        val text = nfkd(pageText(content))
+        val text = nfkd(pageText(content, fontsOf(doc, pg, topPages)))
         if (filterText(text))
           spans += Span(SpanKinds.Page, text, "", idx + 1)
         else

@@ -89,13 +89,31 @@ object RtfExtractor extends Extractor {
     bytes.length >= 5 && new String(bytes, 0, 5, "US-ASCII") == "{\\rtf"
 
   protected def run(doc: RawDoc): ExtractionResult = {
-    if (!looksLikeRtf(doc.bytes))
-      throw new ProcessingError(
-        "Legacy office conversion requires LibreOffice; unsupported in this build")
-    val text = extractText(Encoding.readDecoded(doc.bytes))
-    val spans =
-      if (filterText(text)) Vector(Span(SpanKinds.Text, text, "", 0))
-      else Vector.empty
-    ExtractionResult.success(schema, spans)
+    if (looksLikeRtf(doc.bytes)) {
+      val text = extractText(Encoding.readDecoded(doc.bytes))
+      val spans =
+        if (filterText(text)) Vector(Span(SpanKinds.Text, text, "", 0))
+        else Vector.empty
+      return ExtractionResult.success(schema, spans)
+    }
+    if (Cfbf.isCfbf(doc.bytes)) {
+      // legacy binary Office: OLE property-set metadata always
+      // (`support/ole.py:38-58`), text from the Word piece table or the
+      // PowerPoint text atoms where the container carries them
+      val entries = Cfbf.parse(doc.bytes)
+      val props = OleMeta.summaryPropsFromEntries(entries)
+      val texts = OleMeta.docText(entries).orElse(OleMeta.pptText(entries))
+        .getOrElse(Vector.empty)
+      val spans = texts.filter(filterText).zipWithIndex.map {
+        case (t, i) => Span(SpanKinds.Text, t, "", i)
+      }.toVector
+      if (spans.nonEmpty)
+        return ExtractionResult.success(schema, spans, props)
+      return ExtractionResult.failure(schema,
+        "Legacy office conversion requires LibreOffice; unsupported in this build",
+        properties = props)
+    }
+    throw new ProcessingError(
+      "Legacy office conversion requires LibreOffice; unsupported in this build")
   }
 }

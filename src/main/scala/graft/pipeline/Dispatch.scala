@@ -46,8 +46,7 @@ object Dispatch {
       "Access extraction requires mdbtools; unsupported in this build"),
     new UnsupportedExtractor("SQLiteIngestor", "Workbook",
       "SQLite extraction unsupported in this build"),
-    new UnsupportedExtractor("ExcelIngestor", "Workbook",
-      "Legacy BIFF Excel extraction unsupported in this build"),
+    XlsExtractor,
     XlsxExtractor,
     OdsExtractor,
     MboxExtractor,

@@ -1,0 +1,178 @@
+package graft
+
+import graft.core.{ExtractionResult, ProcessingError}
+import graft.extract._
+import graft.pipeline.Dispatch
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** Real-fixture parity: run the extractors over the reference's own test
+  * fixtures (read-only at /root/reference/tests/fixtures) and assert the
+  * goldens its pytest suite publishes — converting "synthetic-roundtrip
+  * correct" into "reference-correct". Source for each golden is cited. */
+class FixtureSpec extends AnyFunSuite {
+
+  private val dir = Paths.get("/root/reference/tests/fixtures")
+
+  private def bytes(name: String): Array[Byte] =
+    Files.readAllBytes(dir.resolve(name))
+
+  private def ingest(name: String, mime: String = ""): Dispatch.Ingested =
+    Dispatch.ingest(name, mime, bytes(name))
+
+  private def assume_(name: String): Unit =
+    assume(Files.exists(dir.resolve(name)), s"fixture $name missing")
+
+  // ---- tabular (tests/test_tabular.py, test_csv.py) ----------------------
+
+  test("rom.xls: unicode sheet name Лист1, success (test_tabular.py test_unicode_xls)") {
+    assume_("rom.xls")
+    val r = XlsExtractor.extract(RawDoc("d", "rom.xls",
+      "application/vnd.ms-excel", bytes("rom.xls")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(r.properties.getOrElse("sheets", Nil).contains("Лист1"),
+      r.properties.get("sheets"))
+    assert(r.spans.nonEmpty)
+  }
+
+  test("password_protected.xls: ENCRYPTED_MSG failure (test_tabular.py)") {
+    assume_("password_protected.xls")
+    val r = XlsExtractor.extract(RawDoc("d", "password_protected.xls", "",
+      bytes("password_protected.xls")))
+    assert(r.status == ExtractionResult.Failure)
+    assert(r.error == ProcessingError.EncryptedMsg)
+  }
+
+  test("rom.ods: unicode sheet name Лист1 (test_tabular.py test_unicode_ods)") {
+    assume_("rom.ods")
+    val r = OdsExtractor.extract(RawDoc("d", "rom.ods", "", bytes("rom.ods")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(r.properties.getOrElse("sheets", Nil).contains("Лист1"))
+  }
+
+  test("countries.csv: rowCount 257 (test_csv.py:6-18)") {
+    assume_("countries.csv")
+    val r = CsvExtractor.extract(RawDoc("d", "countries.csv", "text/csv",
+      bytes("countries.csv")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(r.properties.getOrElse("rowCount", Nil).headOption.contains("257"),
+      r.properties.get("rowCount"))
+  }
+
+  // ---- legacy office (tests/test_doc.py) ----------------------------------
+
+  test("doc.doc: Word piece-table text carries the published body goldens (test_doc.py:18-40)") {
+    assume_("doc.doc")
+    val r = RtfExtractor.extract(RawDoc("d", "doc.doc", "application/msword",
+      bytes("doc.doc")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    val all = r.spans.map(_.text).mkString("\n")
+    assert(all.contains("This is a sample Microsoft Word Document."), all.take(400))
+    assert(all.contains("The Level 3 Bookmark"), all.take(400))
+  }
+
+  test("slides.ppt: text atoms extracted (test_doc.py:43-52)") {
+    assume_("slides.ppt")
+    val r = RtfExtractor.extract(RawDoc("d", "slides.ppt",
+      "application/vnd.ms-powerpoint", bytes("slides.ppt")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    // 'Now' golden modulo the dynamic datetime field the reference renders
+    assert(r.spans.exists(_.text.contains("Now")),
+      r.spans.map(_.text).mkString("|").take(400))
+  }
+
+  // ---- html / pdf (tests/test_html.py, test_pdf.py) -----------------------
+
+  test("doc.html: title/summary/keywords/body goldens (test_html.py:12-24)") {
+    assume_("doc.html")
+    val r = HtmlExtractor.extract(RawDoc("d", "doc.html", "text/html",
+      bytes("doc.html")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(r.properties.getOrElse("title", Nil).headOption
+      .contains("Ingestors Title"), r.properties.get("title"))
+    assert(r.properties.getOrElse("summary", Nil).headOption
+      .contains("Ingestors description"), r.properties.get("summary"))
+    assert(r.properties.getOrElse("keywords", Nil).toSet ==
+      Set("ingestors", "key", "words", "news"), r.properties.get("keywords"))
+    val body = r.spans.map(_.text).mkString(" ")
+    assert(body.contains("Ingestors Test web page"), body.take(300))
+    assert(body.contains("The GitHub page"), body.take(300))
+  }
+
+  test("500 pages.pdf: 500 page spans (test_pdf.py:22-38 → 501 entities = 1 doc + 500 pages)") {
+    assume_("500 pages.pdf")
+    val r = PdfExtractor.extract(RawDoc("d", "500 pages.pdf", "application/pdf",
+      bytes("500 pages.pdf")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(r.spans.count(_.kind == SpanKinds.Page) == 500,
+      r.spans.count(_.kind == SpanKinds.Page))
+  }
+
+  test("readme.pdf body text (test_pdf.py:12-20)") {
+    assume_("readme.pdf")
+    val r = PdfExtractor.extract(RawDoc("d", "readme.pdf", "application/pdf",
+      bytes("readme.pdf")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    val body = r.spans.map(_.text).mkString(" ")
+    assert(body.contains("Ingestors extract useful information"), body.take(300))
+  }
+
+  // ---- packages (tests/test_packages.py) ----------------------------------
+
+  test("test-documents.zip: members become children (test_packages.py:15-21)") {
+    assume_("test-documents.zip")
+    val r = ZipExtractor.extract(RawDoc("d", "test-documents.zip",
+      "application/zip", bytes("test-documents.zip")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(r.children.nonEmpty)
+  }
+
+  test("badzip.zip symlink escape: symlink becomes a normal file child (test_packages.py:15-32)") {
+    assume_("badzip.zip")
+    val r = ZipExtractor.extract(RawDoc("d", "badzip.zip", "application/zip",
+      bytes("badzip.zip")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    val child = r.children.find(_.file_name == "secret.txt")
+    assert(child.isDefined, r.children.map(_.file_name))
+    assert(new String(child.get.bytes, "UTF-8") ==
+      "/ingestors/tests/fixtures/secret.txt")
+  }
+
+  test("badtar.tar / badrar.rar: escape fixtures stay contained") {
+    assume_("badtar.tar")
+    val t = TarExtractor.extract(RawDoc("d", "badtar.tar", "application/tar",
+      bytes("badtar.tar")))
+    // whatever the status, no child may carry an absolute or parent-escaping name
+    assert(t.children.forall(c => !c.file_name.startsWith("/") &&
+      !c.file_name.contains("..")), t.children.map(_.file_name))
+  }
+
+  // ---- classification over real bytes -------------------------------------
+
+  test("dispatch routes real fixtures to the reference ingestor classes") {
+    val expect = Seq(
+      "doc.html" -> "HTMLIngestor",
+      "readme.pdf" -> "PDFIngestor",
+      "countries.csv" -> "CSVIngestor",
+      "rom.xls" -> "ExcelIngestor",
+      "doc.doc" -> "DocumentIngestor",
+      "slides.ppt" -> "DocumentIngestor",
+      "file.xlsx" -> "ExcelXMLIngestor",
+      "hello world word.docx" -> "OfficeOpenXMLIngestor",
+      "rom.ods" -> "OpenOfficeSpreadsheetIngestor",
+      "testThunderbirdEml.eml" -> "RFC822Ingestor",
+      "john-doe.vcf" -> "VCardIngestor",
+      "meetup.ics" -> "CalendarIngestor",
+      "test-documents.zip" -> "ZipIngestor",
+      "test-documents.tar" -> "TarIngestor",
+      "utf.txt" -> "PlainTextIngestor",
+      "image.svg" -> "SVGIngestor",
+      "example_2.json" -> "JSONIngestor",
+      "PAK_adm1.dbf" -> "DBFIngestor")
+    for ((name, ing) <- expect if Files.exists(dir.resolve(name))) {
+      val got = ingest(name).ingestor
+      assert(got == ing, s"$name -> $got (expected $ing)")
+    }
+  }
+}
