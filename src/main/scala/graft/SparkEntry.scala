@@ -74,6 +74,19 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("text").as("body"))
         .orderBy("doc_id")
     }),
+    // bz2 roundtrip: Spark-side bzip2 encoder → pipeline (BZ2Ingestor
+    // decode → PlainText child) → body equals the original text
+    "x_bz2" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "bz2"))
+      val children = out.meta.toDF().filter(col("depth") === 1)
+        .select(col("parent_id").cast("long").as("doc_id"),
+          col("doc_id").as("child_id"), col("file_name"))
+      val body = out.spans.toDF().filter(col("kind") === "text")
+        .select(col("doc_id").as("child_id"), col("text").as("body"))
+      children.join(body, "child_id")
+        .select(col("doc_id"), col("file_name"), col("body"))
+        .orderBy("doc_id")
+    }),
     "x_targz" -> ((s, dir) => {
       val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "targz"))
       val children = out.meta.toDF().filter(col("depth") === 1)
@@ -127,6 +140,20 @@ object SparkEntry {
     }),
     "x_xlsx" -> ((s, dir) => {
       val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "xlsx"))
+      val meta = out.meta.toDF().select(col("doc_id"),
+        QueryLib.prop("rowCount").cast("long").as("row_count"),
+        QueryLib.prop("sheets").as("sheet"))
+      val body = out.spans.toDF().filter(col("kind") === "text")
+        .groupBy(col("doc_id"))
+        .agg(concat_ws(" ", array_sort(collect_list(struct(col("seq"), col("text"))))
+          .getField("text")).as("body"))
+      meta.join(body, "doc_id")
+        .select(col("doc_id").cast("long").as("doc_id"), col("sheet"),
+          col("row_count"), col("body"))
+        .orderBy("doc_id")
+    }),
+    "x_xls" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "xls"))
       val meta = out.meta.toDF().select(col("doc_id"),
         QueryLib.prop("rowCount").cast("long").as("row_count"),
         QueryLib.prop("sheets").as("sheet"))
@@ -387,6 +414,9 @@ object SparkEntry {
       "SELECT doc_id, 'Doc ' || doc_id AS subject, text AS body FROM documents ORDER BY doc_id",
     "x_rtf" ->
       "SELECT doc_id, text AS body FROM documents ORDER BY doc_id",
+    "x_bz2" ->
+      """SELECT doc_id, 'doc' || doc_id || '.txt' AS file_name, text AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_targz" ->
       """SELECT doc_id, 'a.txt' AS file_name, text AS body FROM documents
         |UNION ALL
@@ -410,6 +440,12 @@ object SparkEntry {
         |       text AS body
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x_xlsx" ->
+      """SELECT doc_id,
+        |       'Sheet ' || doc_id AS sheet,
+        |       CAST(ceil(len(string_split(text, ' ')) / 4.0) AS BIGINT) + 1 AS row_count,
+        |       text AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_xls" ->
       """SELECT doc_id,
         |       'Sheet ' || doc_id AS sheet,
         |       CAST(ceil(len(string_split(text, ' ')) / 4.0) AS BIGINT) + 1 AS row_count,

@@ -199,6 +199,43 @@ object CorpusGen {
       ("xl/worksheets/sheet1.xml", sheet.getBytes("UTF-8"))))
   }
 
+  /** Minimal BIFF8 .xls: CFBF container with a Workbook stream — globals
+    * (BOF, BOUNDSHEET, SST) + one worksheet of LABELSST cells. All strings
+    * ride the SST as UTF-16 (flags=1), mirroring what XlsExtractor reads. */
+  def renderXls(sheetName: String, rows: Seq[Seq[String]]): Array[Byte] = {
+    def u16b(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def i32b(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def rec(id: Int, body: Array[Byte]): Array[Byte] =
+      u16b(id) ++ u16b(body.length) ++ body
+    def bof(dt: Int) = rec(0x0809,
+      u16b(0x0600) ++ u16b(dt) ++ u16b(0x0dbb) ++ u16b(0x07cc) ++
+        i32b(0) ++ i32b(0))
+    val eof = rec(0x000a, Array.empty)
+
+    // unique strings → SST order
+    val strings = rows.flatten.map(_.take(255)).distinct.toVector
+    val sstIndex = strings.zipWithIndex.toMap
+    val sstBody = i32b(rows.map(_.length).sum) ++ i32b(strings.length) ++
+      strings.toArray.flatMap(s =>
+        u16b(s.length) ++ Array[Byte](1) ++ s.getBytes("UTF-16LE"))
+    val cells = rows.zipWithIndex.flatMap { case (r, ri) =>
+      r.zipWithIndex.map { case (v, ci) =>
+        rec(0x00fd, u16b(ri) ++ u16b(ci) ++ u16b(0) ++ i32b(sstIndex(v.take(255))))
+      }
+    }
+    val sheet = bof(0x0010) ++ cells.flatten ++ eof
+
+    val nameBytes = sheetName.take(100).getBytes("UTF-16LE")
+    def globals(plyPos: Int) = bof(0x0005) ++
+      rec(0x0085, i32b(plyPos) ++ u16b(0) ++
+        Array[Byte](sheetName.take(100).length.toByte, 1) ++ nameBytes) ++
+      rec(0x00fc, sstBody) ++ eof
+    val glen = globals(0).length
+    val workbook = globals(glen) ++ sheet
+    graft.extract.Cfbf.write(Seq("Workbook" -> workbook))
+  }
+
   /** Minimal well-formed PDF: catalog → pages → one content stream per
     * page, Helvetica, one text line per `Tj` with explicit leading. */
   def renderPdf(pages: Seq[Seq[String]], title: String = ""): Array[Byte] = {
@@ -294,9 +331,9 @@ object CorpusGen {
     "html" -> 22, "txt" -> 11, "txt_latin1" -> 3, "txt_utf16" -> 2,
     "csv" -> 9, "json" -> 8, "xml" -> 5, "pdf" -> 7, "eml" -> 7,
     "eml_alt" -> 4, "eml_attach" -> 4, "mbox" -> 4, "zip" -> 6,
-    "zip_nested" -> 2, "gz" -> 3, "tar" -> 2, "msg" -> 3, "dbf" -> 2,
-    "docx" -> 4, "xlsx" -> 3, "vcf" -> 1, "ics" -> 1, "empty" -> 1,
-    "garbage" -> 2)
+    "zip_nested" -> 2, "gz" -> 3, "bz2" -> 2, "tar" -> 2, "msg" -> 3, "dbf" -> 2,
+    "docx" -> 4, "xlsx" -> 3, "xls" -> 2, "vcf" -> 1, "ics" -> 1,
+    "empty" -> 1, "garbage" -> 2)
 
   private val totalWeight = formats.map(_._2).sum
 
@@ -362,6 +399,9 @@ object CorpusGen {
           (s"top$idx.txt", words(rng, 20).mkString(" ").getBytes("UTF-8")))))
       case "gz" =>
         GenDoc(id, s"$id.txt.gz", fmt, renderGzip(body.take(8000).getBytes("UTF-8")))
+      case "bz2" =>
+        GenDoc(id, s"$id.txt.bz2", fmt,
+          graft.extract.Bzip2.compress(body.take(8000).getBytes("UTF-8")))
       case "tar" =>
         GenDoc(id, s"$id.tar", fmt, renderTar(Seq(
           (s"a$idx.txt", words(rng, 40).mkString(" ").getBytes("UTF-8")),
@@ -373,6 +413,9 @@ object CorpusGen {
       case "xlsx" =>
         GenDoc(id, s"$id.xlsx", fmt,
           renderXlsx("Sheet1", words(rng, 24).grouped(4).map(_.toSeq).toSeq))
+      case "xls" =>
+        GenDoc(id, s"$id.xls", fmt,
+          renderXls("Sheet1", words(rng, 24).grouped(4).map(_.toSeq).toSeq))
       case "msg" =>
         val subj = title
         def u16(s: String) = s.getBytes("UTF-16LE")

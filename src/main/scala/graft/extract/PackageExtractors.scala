@@ -112,6 +112,13 @@ object GzipExtractor extends SingleFileExtractor {
       PackageLimits.MaxMemberBytes)
 }
 
+object Bz2Extractor extends SingleFileExtractor {
+  val name = "BZ2Ingestor"
+  val extensions = Seq("bz2", "tbz2", "tbz")
+  def decompress(bytes: Array[Byte]): Array[Byte] =
+    Bzip2.decompress(bytes, PackageLimits.MaxMemberBytes)
+}
+
 /** POSIX ustar tar reader — fixed 512-byte headers, octal sizes
   * (hand parse; the format is public and simple). Mirrors
   * `packages/tar.py:11-42` behavior: regular files become children. */

@@ -30,8 +30,7 @@ object Dispatch {
     new UnsupportedExtractor("SevenZipIngestor", "Package",
       "Could not unpack the contents of this file."),
     GzipExtractor,
-    new UnsupportedExtractor("BZ2Ingestor", "Package",
-      "Could not unpack the contents of this file."),
+    Bz2Extractor,
     new UnsupportedExtractor("OutlookPSTIngestor", "Package",
       "PST extraction requires readpst; unsupported in this build"),
     OlmArchiveExtractor,

@@ -65,6 +65,9 @@ object QueryLib extends Serializable {
       case "xlsx" =>
         val rows = text.split(" ").grouped(4).map(_.toSeq).toSeq
         (s"doc$id.xlsx", CorpusGen.renderXlsx(s"Sheet $id", rows))
+      case "xls" =>
+        val rows = text.split(" ").grouped(4).map(_.toSeq).toSeq
+        (s"doc$id.xls", CorpusGen.renderXls(s"Sheet $id", rows))
       case "mbox" =>
         val n = (id % 3 + 1).toInt
         val msgs = (0 until n).map { i =>
@@ -83,6 +86,9 @@ object QueryLib extends Serializable {
           ("a.txt", text.getBytes("UTF-8")),
           ("b.txt", s"copy of doc $id".getBytes("UTF-8"))))
         (s"doc$id.tar.gz", CorpusGen.renderGzip(tar))
+      case "bz2" =>
+        (s"doc$id.txt.bz2",
+          graft.extract.Bzip2.compress(text.getBytes("UTF-8")))
       case "rtf" =>
         val esc = text.replace("\\", "\\\\").replace("{", "\\{").replace("}", "\\}")
         val rtf = "{\\rtf1\\ansi{\\fonttbl{\\f0 Helvetica;}}\\f0\\fs24 " +
