@@ -301,6 +301,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Real media-extractor path end-to-end: classify + AudioIngestor over
+    // rendered WAV/MP3 containers; metadata (title/duration/samplingRate)
+    // must match the byte-exact values the renderers encoded.
+    "m_media_real" -> ((s, dir) => {
+      import s.implicits._
+      val pending = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val fmt = if (id % 2 == 0) "wav" else "mp3"
+          val (fn, bytes) = QueryLib.render(fmt, id, "")
+          graft.core.PendingDoc(id.toString, "", Seq.empty, 0, fn, "", bytes)
+        })
+      QueryLib.run(s, pending).meta.toDF()
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("ingestor"),
+          coalesce(QueryLib.prop("title"), lit("")).as("title"),
+          QueryLib.prop("duration").cast("long").as("duration"),
+          QueryLib.prop("samplingRate").cast("long").as("sampling_rate"))
+        .orderBy("doc_id")
+    }),
+
     // ---- analysis stage ------------------------------------------------
     "a_patterns" -> ((s, dir) => {
       val spans = QueryLib.documents(s, dir)
@@ -596,6 +617,15 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
         |  FROM scored)
         |SELECT qid, rank, cid FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "m_media_real" ->
+      """SELECT doc_id,
+        |       'AudioIngestor' AS ingestor,
+        |       CASE WHEN doc_id % 2 = 0 THEN '' ELSE 'Doc ' || doc_id END AS title,
+        |       CASE WHEN doc_id % 2 = 0
+        |            THEN CAST(floor((doc_id % 100 + 1) * 1000 * 1000.0 / 32000) AS BIGINT)
+        |            ELSE doc_id % 100 * 250 + 100 END AS duration,
+        |       CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END AS sampling_rate
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "m_media_meta" ->
       """SELECT doc_id,
         |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -199,6 +199,42 @@ object CorpusGen {
       ("xl/worksheets/sheet1.xml", sheet.getBytes("UTF-8"))))
   }
 
+  /** Minimal RIFF/WAVE: fmt (16-bit mono PCM at sampleRate) + zeroed data
+    * chunk — duration = dataSize·1000 / byteRate. */
+  def renderWav(sampleRate: Int, dataSize: Int): Array[Byte] = {
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val byteRate = sampleRate * 2
+    val fmt = "fmt ".getBytes("ISO-8859-1") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(sampleRate) ++ le32(byteRate) ++
+      le16(2) ++ le16(16)
+    val data = "data".getBytes("ISO-8859-1") ++ le32(dataSize) ++
+      new Array[Byte](dataSize)
+    val body = "WAVE".getBytes("ISO-8859-1") ++ fmt ++ data
+    "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
+  }
+
+  /** Minimal MP3: ID3v2.3 (TIT2 title + TLEN duration) + one valid MPEG1
+    * Layer III 128kbps/44100 frame header + filler. */
+  def renderMp3(title: String, durMs: Long): Array[Byte] = {
+    def frame(id: String, text: String): Array[Byte] = {
+      val payload = Array[Byte](0) ++ text.getBytes("ISO-8859-1")
+      id.getBytes("ISO-8859-1") ++
+        Array[Byte](((payload.length >> 24) & 0xff).toByte,
+          ((payload.length >> 16) & 0xff).toByte,
+          ((payload.length >> 8) & 0xff).toByte,
+          (payload.length & 0xff).toByte, 0, 0) ++ payload
+    }
+    val frames = frame("TIT2", title) ++ frame("TLEN", durMs.toString)
+    val sz = frames.length
+    val hdr = "ID3".getBytes("ISO-8859-1") ++ Array[Byte](3, 0, 0,
+      ((sz >> 21) & 0x7f).toByte, ((sz >> 14) & 0x7f).toByte,
+      ((sz >> 7) & 0x7f).toByte, (sz & 0x7f).toByte)
+    hdr ++ frames ++ Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0) ++
+      new Array[Byte](413)
+  }
+
   /** Minimal BIFF8 .xls: CFBF container with a Workbook stream — globals
     * (BOF, BOUNDSHEET, SST) + one worksheet of LABELSST cells. All strings
     * ride the SST as UTF-16 (flags=1), mirroring what XlsExtractor reads. */

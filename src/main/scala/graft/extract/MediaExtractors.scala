@@ -30,14 +30,23 @@ object ImageExtractor extends Extractor {
   }
 }
 
-/** TIFF → reference rasterizes to PDF pages (`media/tiff.py:10-43`); we emit
-  * the image span only. */
+/** TIFF → reference rasterizes to PDF pages + OCR (`media/tiff.py:10-43`,
+  * subprocess, out of scope); we emit the image span plus the EXIF/IFD
+  * metadata the TIFF container itself carries (same IFD walker as JPEG). */
 object TiffExtractor extends Extractor {
   val name = "TIFFIngestor"
   val schema = "Pages"
   protected def run(doc: RawDoc): ExtractionResult = {
     val ref = sha1Hex(doc.bytes)
-    ExtractionResult.success(schema, Vector(Span(SpanKinds.Image, "", ref, 0)))
+    val exif = Exif.read(doc.bytes)
+    val props = Map.newBuilder[String, Seq[String]]
+    props += ("contentHash" -> Seq(ref))
+    val gen = (exif.make.toSeq ++ exif.model.toSeq).distinct
+    if (gen.nonEmpty) props += ("generator" -> gen)
+    exif.dateTimeOriginal.foreach(d =>
+      props += ("authoredAt" -> Seq(Exif.exifDateToIso(d))))
+    ExtractionResult.success(schema,
+      Vector(Span(SpanKinds.Image, "", ref, 0)), props.result())
   }
 }
 
@@ -54,20 +63,26 @@ object SvgExtractor extends Extractor {
   }
 }
 
+/** Audio: container metadata (MP4/M4A atoms, ID3v2, WAV) mapped to
+  * title/generator/authoredAt/duration/samplingRate — the reference's
+  * MediaInfo track loop (`media/audio.py:40-57`). */
 object AudioExtractor extends Extractor {
   val name = "AudioIngestor"
   val schema = "Audio"
   protected def run(doc: RawDoc): ExtractionResult =
     ExtractionResult.success(schema,
-      Vector(Span(SpanKinds.Media, "", sha1Hex(doc.bytes), 0)))
+      Vector(Span(SpanKinds.Media, "", sha1Hex(doc.bytes), 0)),
+      MediaMeta.read(doc.bytes).props)
 }
 
+/** Video: MP4/QuickTime atom metadata (`media/video.py:29-46`). */
 object VideoExtractor extends Extractor {
   val name = "VideoIngestor"
   val schema = "Video"
   protected def run(doc: RawDoc): ExtractionResult =
     ExtractionResult.success(schema,
-      Vector(Span(SpanKinds.Media, "", sha1Hex(doc.bytes), 0)))
+      Vector(Span(SpanKinds.Media, "", sha1Hex(doc.bytes), 0)),
+      MediaMeta.read(doc.bytes).props)
 }
 
 /** Formats the reference handles via subprocesses/native drivers that are

@@ -86,6 +86,10 @@ object QueryLib extends Serializable {
           ("a.txt", text.getBytes("UTF-8")),
           ("b.txt", s"copy of doc $id".getBytes("UTF-8"))))
         (s"doc$id.tar.gz", CorpusGen.renderGzip(tar))
+      case "wav" =>
+        (s"doc$id.wav", CorpusGen.renderWav(16000, ((id % 100).toInt + 1) * 1000))
+      case "mp3" =>
+        (s"doc$id.mp3", CorpusGen.renderMp3(s"Doc $id", (id % 100) * 250 + 100))
       case "bz2" =>
         (s"doc$id.txt.bz2",
           graft.extract.Bzip2.compress(text.getBytes("UTF-8")))

@@ -148,6 +148,35 @@ class FixtureSpec extends AnyFunSuite {
       !c.file_name.contains("..")), t.children.map(_.file_name))
   }
 
+  // ---- media (tests/test_audio.py, test_tiff.py) ---------------------------
+
+  test("memo.m4a: MediaInfo-parity metadata (test_audio.py:7-20)") {
+    assume_("memo.m4a")
+    val r = AudioExtractor.extract(RawDoc("d", "memo.m4a", "audio/x-m4a",
+      bytes("memo.m4a")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(r.properties.getOrElse("title", Nil).contains("Core Media Audio"),
+      r.properties.get("title"))
+    assert(r.properties.getOrElse("generator", Nil)
+      .contains("com.apple.VoiceMemos (iOS 11.4)"), r.properties.get("generator"))
+    assert(r.properties.getOrElse("duration", Nil).headOption.contains("2808"),
+      r.properties.get("duration"))
+    assert(r.properties.getOrElse("samplingRate", Nil).headOption.contains("44100"),
+      r.properties.get("samplingRate"))
+    val at = r.properties.getOrElse("authoredAt", Nil)
+    assert(at.contains("2018-06-20T12:09:28") && at.contains("2018-06-20T12:09:42"), at)
+  }
+
+  test("tiff fixtures: success with image span + contentHash (test_tiff.py shape)") {
+    for (n <- Seq("multipage_tiff_example.tif", "hello_world_tiff.tif")
+         if Files.exists(dir.resolve(n))) {
+      val r = TiffExtractor.extract(RawDoc("d", n, "image/tiff", bytes(n)))
+      assert(r.status == ExtractionResult.Success, s"$n: ${r.error}")
+      assert(r.spans.exists(_.kind == SpanKinds.Image))
+      assert(r.properties.contains("contentHash"))
+    }
+  }
+
   // ---- classification over real bytes -------------------------------------
 
   test("dispatch routes real fixtures to the reference ingestor classes") {
