@@ -152,6 +152,20 @@ object SparkEntry {
           col("row_count"), col("body"))
         .orderBy("doc_id")
     }),
+    "x_sqlite" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "sqlite"))
+      val meta = out.meta.toDF().select(col("doc_id"),
+        QueryLib.prop("rowCount").cast("long").as("row_count"),
+        QueryLib.prop("sheets").as("table_name"))
+      val body = out.spans.toDF().filter(col("kind") === "text")
+        .groupBy(col("doc_id"))
+        .agg(concat_ws(" ", array_sort(collect_list(struct(col("seq"), col("text"))))
+          .getField("text")).as("body"))
+      meta.join(body, "doc_id")
+        .select(col("doc_id").cast("long").as("doc_id"), col("table_name"),
+          col("row_count"), col("body"))
+        .orderBy("doc_id")
+    }),
     "x_xls" -> ((s, dir) => {
       val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "xls"))
       val meta = out.meta.toDF().select(col("doc_id"),
@@ -464,6 +478,12 @@ object SparkEntry {
       """SELECT doc_id,
         |       'Sheet ' || doc_id AS sheet,
         |       CAST(ceil(len(string_split(text, ' ')) / 4.0) AS BIGINT) + 1 AS row_count,
+        |       text AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_sqlite" ->
+      """SELECT doc_id,
+        |       'docs' AS table_name,
+        |       CAST(ceil(len(string_split(text, ' ')) / 5.0) AS BIGINT) + 1 AS row_count,
         |       text AS body
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x_xls" ->

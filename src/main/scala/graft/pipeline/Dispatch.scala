@@ -43,8 +43,7 @@ object Dispatch {
     CsvExtractor,
     new UnsupportedExtractor("AccessIngestor", "Workbook",
       "Access extraction requires mdbtools; unsupported in this build"),
-    new UnsupportedExtractor("SQLiteIngestor", "Workbook",
-      "SQLite extraction unsupported in this build"),
+    SqliteExtractor,
     XlsExtractor,
     XlsxExtractor,
     OdsExtractor,

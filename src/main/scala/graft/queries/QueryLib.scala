@@ -86,6 +86,10 @@ object QueryLib extends Serializable {
           ("a.txt", text.getBytes("UTF-8")),
           ("b.txt", s"copy of doc $id".getBytes("UTF-8"))))
         (s"doc$id.tar.gz", CorpusGen.renderGzip(tar))
+      case "sqlite" =>
+        val rows = text.split(" ").grouped(5).map(_.toSeq).toSeq
+        (s"doc$id.sqlite", graft.extract.Sqlite.write("docs",
+          (0 until 5).map(i => s"c$i"), rows))
       case "wav" =>
         (s"doc$id.wav", CorpusGen.renderWav(16000, ((id % 100).toInt + 1) * 1000))
       case "mp3" =>
