@@ -382,6 +382,48 @@ object SparkEntry {
           col("detected_prop"), col("resolved_key"))
         .orderBy("document", "resolved_key")
     }),
+    // TagAggregatorFasttext gate: synthesized person/company/trash values
+    // per doc — the type model must keep exactly the person + company
+    // groups and drop the trash group (entropy-confidence >= 0.85 filter).
+    "a_typed_tags" -> ((s, dir) => {
+      import s.implicits._
+      val people = Vector("John Smith", "Maria Garcia", "Ivan Petrov",
+        "Fatima Hassan", "Chen Wei", "Anna Kowalski", "Ahmed Khan",
+        "Sofia Rossi", "David Cohen", "Yuki Tanaka")
+      val companies = Vector("Acme Holdings Ltd", "Globex GmbH",
+        "Initech LLC", "Umbrella Corp", "Stark Industries Inc",
+        "Wayne Enterprises Plc", "Cyberdyne Systems SA", "Tyrell BV")
+      val tags = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          Seq(
+            (id, "peopleMentioned", people((id % 10).toInt)),
+            (id, "companiesMentioned", companies((id % 8).toInt)),
+            (id, "peopleMentioned", s"zq9#x$id 77&&"))
+        }.toDF("doc_id", "prop", "value")
+      Analyze.aggregateTagsTyped(s, tags)
+        .select(col("doc_id"), col("prop"), col("key"))
+        .orderBy("doc_id", "prop", "key")
+    }),
+    // contextCountry resolution: mentions inherit the countries tagged from
+    // the doc's location values (analysis/country.py gazetteer path).
+    "a_mentions_country" -> ((s, dir) => {
+      import s.implicits._
+      val cities = Vector("Berlin", "Paris", "London", "Madrid", "Rome",
+        "Tokyo", "Toronto", "Mumbai", "Cairo", "Sydney")
+      val tags = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          Seq(
+            (id, "emailMentioned", s"user$id@example.com"),
+            (id, "locationMentioned", cities((id % 10).toInt)))
+        }.toDF("doc_id", "prop", "value")
+      Analyze.mentionsWithCountry(s, Analyze.aggregateTags(tags))
+        .select(col("document").cast("long").as("document"),
+          col("resolved_key"),
+          concat_ws(",", col("context_country")).as("context_country"))
+        .orderBy("document", "resolved_key")
+    }),
     "a_thread_join" -> ((s, dir) => {
       val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "eml"))
       Analyze.threadEmails(s, out.meta)
@@ -679,6 +721,31 @@ object SparkEntry {
         |       'emailMentioned' AS detected_prop,
         |       'user' || doc_id || '@example.com' AS resolved_key
         |FROM documents ORDER BY document, resolved_key""".stripMargin,
+    "a_typed_tags" -> {
+      val people = Vector("john smith", "maria garcia", "ivan petrov",
+        "fatima hassan", "chen wei", "anna kowalski", "ahmed khan",
+        "sofia rossi", "david cohen", "yuki tanaka")
+      val companies = Vector("acme holdings ltd", "globex gmbh",
+        "initech llc", "umbrella corp", "stark industries inc",
+        "wayne enterprises plc", "cyberdyne systems sa", "tyrell bv")
+      val pCase = people.zipWithIndex.map { case (p, i) => s"WHEN $i THEN '$p'" }.mkString(" ")
+      val cCase = companies.zipWithIndex.map { case (c, i) => s"WHEN $i THEN '$c'" }.mkString(" ")
+      s"""SELECT doc_id, prop, key FROM (
+         |  SELECT doc_id, 'companiesMentioned' AS prop,
+         |         CASE doc_id % 8 $cCase END AS key FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 'peopleMentioned' AS prop,
+         |         CASE doc_id % 10 $pCase END AS key FROM documents
+         |) ORDER BY doc_id, prop, key""".stripMargin
+    },
+    "a_mentions_country" -> {
+      val cc = Vector("de", "fr", "gb", "es", "it", "jp", "ca", "in", "eg", "au")
+      val ccCase = cc.zipWithIndex.map { case (c, i) => s"WHEN $i THEN '$c'" }.mkString(" ")
+      s"""SELECT doc_id AS document,
+         |       'user' || doc_id || '@example.com' AS resolved_key,
+         |       CASE doc_id % 10 $ccCase END AS context_country
+         |FROM documents ORDER BY document, resolved_key""".stripMargin
+    },
     "a_thread_join" ->
       """SELECT doc_id, doc_id - 1 AS in_reply_to_doc FROM documents
         |WHERE doc_id > 0 ORDER BY doc_id""".stripMargin

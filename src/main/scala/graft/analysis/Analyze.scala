@@ -47,6 +47,44 @@ object Analyze {
       .drop("rn")
   }
 
+  /** TagAggregatorFasttext (`analysis/aggregate.py:10-34`): like
+    * aggregateTags, but every (key, prop) group passes through the type
+    * model's confidence gate — any trash-labelled or low-confidence value
+    * drops the whole group. Narrow filter after the same hash groupBy. */
+  def aggregateTagsTyped(spark: SparkSession, tags: DataFrame,
+                         threshold: Double = 0.85): DataFrame = {
+    import spark.implicits._
+    val agg = aggregateTags(tags)
+    val keep = agg
+      .select(col("doc_id"), col("prop"), col("key"), col("values"),
+        col("freq"))
+      .as[(Long, String, String, Seq[String], Long)]
+      .filter(r => TypeModel.groupSurvives(r._4, threshold))
+    keep.toDF("doc_id", "prop", "key", "values", "freq")
+  }
+
+  /** Mentions with contextCountry (`analysis/__init__.py:50-77`): every
+    * country resolved from the doc's location/country tags is stamped on
+    * each of that doc's mentions. The per-doc country set is tiny, so it
+    * broadcast-joins back onto the mention rows. */
+  def mentionsWithCountry(spark: SparkSession, aggregated: DataFrame): DataFrame = {
+    import spark.implicits._
+    val countries = aggregated
+      .filter(col("prop").isin("locationMentioned", "country"))
+      .select(col("doc_id"), explode(col("values")).as("loc"))
+      .as[(Long, String)]
+      .flatMap { case (id, loc) => TypeModel.locationCountry(loc).map(id -> _) }
+      .toDF("doc_id", "cc")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("cc"))).as("context_country"))
+    mentions(aggregated.filter(!col("prop").isin("locationMentioned", "country")))
+      .join(broadcast(countries),
+        col("document") === countries("doc_id"), "left")
+      .drop("doc_id")
+      .withColumn("context_country",
+        coalesce(col("context_country"), array().cast("array<string>")))
+  }
+
   /** Mention synthesis (`analysis/__init__.py:49-95`): deterministic
     * mention id per (doc, prop, key). */
   def mentions(aggregated: DataFrame): DataFrame = {
