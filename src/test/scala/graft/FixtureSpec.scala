@@ -177,6 +177,148 @@ class FixtureSpec extends AnyFunSuite {
     }
   }
 
+  // ---- email (tests/test_msg.py, test_outlookmsg.py, test_emlx.py) --------
+
+  private def prop(r: ExtractionResult, k: String): Seq[String] =
+    r.properties.getOrElse(k, Nil)
+  private def bodyOf(r: ExtractionResult): String =
+    r.spans.filter(_.kind == SpanKinds.Text).map(_.text).mkString("\n")
+
+  test("testThunderbirdEml.eml: subject + body goldens (test_msg.py:9-15)") {
+    assume_("testThunderbirdEml.eml")
+    val r = EmlExtractor.extract(RawDoc("d", "testThunderbirdEml.eml",
+      "message/rfc822", bytes("testThunderbirdEml.eml")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(prop(r, "subject").headOption.contains("JUnit test message"), prop(r, "subject"))
+    assert(bodyOf(r).contains("Dear Vladimir"), bodyOf(r).take(200))
+  }
+
+  test("email_base64.eml: decoded body golden (test_msg.py:30-35)") {
+    assume_("email_base64.eml")
+    val r = EmlExtractor.extract(RawDoc("d", "email_base64.eml",
+      "message/rfc822", bytes("email_base64.eml")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(bodyOf(r).contains("Base64 email payload"), bodyOf(r).take(200))
+  }
+
+  test("email_multipart_alternative.eml: plaintext body preferred (test_msg.py:37-48)") {
+    assume_("email_multipart_alternative.eml")
+    val r = EmlExtractor.extract(RawDoc("d", "email_multipart_alternative.eml",
+      "message/rfc822", bytes("email_multipart_alternative.eml")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(bodyOf(r).contains("This is a **multipart/alternative** message."),
+      bodyOf(r).take(300))
+  }
+
+  test("piste.msg: Outlook CFBF subject golden (test_outlookmsg.py:8-13)") {
+    assume_("piste.msg")
+    val r = MsgExtractor.extract(RawDoc("d", "piste.msg",
+      "application/vnd.ms-outlook", bytes("piste.msg")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(prop(r, "subject").headOption.contains("Ab auf die Piste!"),
+      prop(r, "subject"))
+  }
+
+  test("fnf.msg: RFC822-in-.msg sniffed by content (test_msg.py:17-22)") {
+    assume_("fnf.msg")
+    // despite the .msg extension this fixture is RFC822 text — the content
+    // sniff must win the auction, exactly like libmagic does upstream
+    val i = ingest("fnf.msg")
+    assert(i.ingestor == "RFC822Ingestor", i.ingestor)
+    val r = i.result
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(prop(r, "subject").exists(_.contains("Innovationskongress")),
+      prop(r, "subject"))
+  }
+
+  test("plaintext.emlx: subject + Python body (test_emlx.py:8-14)") {
+    assume_("plaintext.emlx")
+    val r = EmlxExtractor.extract(RawDoc("d", "plaintext.emlx", "",
+      bytes("plaintext.emlx")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(prop(r, "subject").headOption.contains("Re: Emlx library"),
+      prop(r, "subject"))
+    assert(bodyOf(r).contains("Python"), bodyOf(r).take(200))
+  }
+
+  test("richtext.emlx: subject golden (test_emlx.py:16-22)") {
+    assume_("richtext.emlx")
+    val r = EmlxExtractor.extract(RawDoc("d", "richtext.emlx", "",
+      bytes("richtext.emlx")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(prop(r, "subject").exists(_.contains("Emlx library")), prop(r, "subject"))
+  }
+
+  test("plan.mbox: messages become children (test_msg.py:24-28)") {
+    assume_("plan.mbox")
+    val r = MboxExtractor.extract(RawDoc("d", "plan.mbox",
+      "application/mbox", bytes("plan.mbox")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(r.children.nonEmpty)
+  }
+
+  // ---- text / tabular / misc ------------------------------------------------
+
+  test("utf.txt + non_utf.txt + udhr_ger.txt: encoding goldens (test_text.py)") {
+    assume_("utf.txt")
+    val utf = PlainTextExtractor.extract(RawDoc("d", "utf.txt", "text/plain",
+      bytes("utf.txt")))
+    def nfkd(s: String) = java.text.Normalizer.normalize(s,
+      java.text.Normalizer.Form.NFKD)
+    assert(nfkd(bodyOf(utf)).contains(nfkd("Îș unî©ođ€.")), bodyOf(utf))
+    val non = PlainTextExtractor.extract(RawDoc("d", "non_utf.txt", "text/plain",
+      bytes("non_utf.txt")))
+    assert(bodyOf(non).contains("größter"), bodyOf(non).take(200))
+    val udhr = PlainTextExtractor.extract(RawDoc("d", "udhr_ger.txt", "text/plain",
+      bytes("udhr_ger.txt")))
+    assert(bodyOf(udhr).nonEmpty)
+  }
+
+  test("countries_nonutf.csv: rowCount 22 (test_csv.py:13-18)") {
+    assume_("countries_nonutf.csv")
+    val r = CsvExtractor.extract(RawDoc("d", "countries_nonutf.csv", "text/csv",
+      bytes("countries_nonutf.csv")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(r.properties.getOrElse("rowCount", Nil).headOption.contains("22"),
+      r.properties.get("rowCount"))
+  }
+
+  test("PAK_adm1.dbf: rowCount 9 + provinces (test_dbf.py:6-17)") {
+    assume_("PAK_adm1.dbf")
+    val r = DbfExtractor.extract(RawDoc("d", "PAK_adm1.dbf", "", bytes("PAK_adm1.dbf")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(r.properties.getOrElse("rowCount", Nil).headOption.contains("9"),
+      r.properties.get("rowCount"))
+    val body = bodyOf(r)
+    assert(body.contains("Azad Kashmir") && body.contains("Pakistan"), body.take(300))
+  }
+
+  test("john-doe.vcf: person name + phone (test_vcard.py:8-16)") {
+    assume_("john-doe.vcf")
+    val r = VCardExtractor.extract(RawDoc("d", "john-doe.vcf", "", bytes("john-doe.vcf")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    val all = r.properties.values.flatten.toSeq ++ r.spans.map(_.text)
+    assert(all.exists(_.contains("John Doe")), all.take(10))
+    assert(all.exists(_.replaceAll("[^+\\d]", "").contains("+17815551212")), all.take(10))
+  }
+
+  test("example_2.json: text leaves kept, numbers filtered (test_jsonfile.py)") {
+    assume_("example_2.json")
+    val r = JsonExtractor.extract(RawDoc("d", "example_2.json",
+      "application/json", bytes("example_2.json")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    val body = bodyOf(r)
+    assert(body.contains("Golden State Warriros"), body.take(300))
+    assert(!body.split("\\s+").contains("10"), body.take(300))
+  }
+
+  test("meetup.ics: event extracted (test_calendar.py)") {
+    assume_("meetup.ics")
+    val r = CalendarExtractor.extract(RawDoc("d", "meetup.ics", "", bytes("meetup.ics")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(r.spans.nonEmpty || r.properties.nonEmpty)
+  }
+
   // ---- classification over real bytes -------------------------------------
 
   test("dispatch routes real fixtures to the reference ingestor classes") {
