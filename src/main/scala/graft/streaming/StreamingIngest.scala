@@ -32,27 +32,33 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val pending = batch.as[PendingDoc]
-        val out = Pipeline.run(spark, pending)
-        // dynamic overwrite of THIS batch's partition only — replays after
-        // a checkpoint-recovery rewrite the same directory instead of
-        // appending duplicates
-        out.spans.toDF()
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(spansOut)
-        out.meta.toDF()
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(metaOut)
-        out.cleanup()
-        ()
+        writeBatch(spark, batch, batchId, spansOut, metaOut)
       }
       .start()
+  }
+
+  /** One micro-batch through the pipeline into the batch_id-partitioned
+    * sinks. Idempotent per batchId: dynamic partition overwrite rewrites
+    * exactly this batch's directory, so a checkpoint-recovery replay
+    * cannot duplicate rows. */
+  def writeBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                 spansOut: String, metaOut: String): Unit = {
+    import spark.implicits._
+    val pending = batch.as[PendingDoc]
+    val out = Pipeline.run(spark, pending)
+    out.spans.toDF()
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(spansOut)
+    out.meta.toDF()
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(metaOut)
+    out.cleanup()
   }
 
   /** Watermarked per-ingestion-window metrics — the streaming analogue of

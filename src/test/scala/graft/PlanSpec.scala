@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits over the real testdata parquet: column pruning and
+  * filter pushdown must reach the scans (the 100 TB contract — a scan that
+  * reads all columns for a 2-column projection is wrong at any scale). */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("t_token_count prunes documents to (doc_id, text) — lang/source/n_chars never read") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    val df = SparkEntry.queries("t_token_count")(spark, sfDir)
+    val scan = planOf(df).linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail("no parquet scan in plan"))
+    assert(scan.contains("doc_id") && scan.contains("text"), scan)
+    assert(!scan.contains("source") && !scan.contains("n_chars"), scan)
+  }
+
+  test("s_ann_brute: query side broadcast + pushed filter, label column pruned") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists)
+    val df = SparkEntry.queries("s_ann_brute")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(1500)) // qid =!= cid theta join over a broadcast query side
+    assert(plan.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,20)]") ||
+      plan.contains("LessThan(vec_id,20)"), plan.take(2000))
+    val scans = planOf(df).linesIterator.filter(_.contains("ReadSchema")).toVector
+    assert(scans.forall(!_.contains("label")), scans.mkString("\n"))
+  }
+
+  test("t_dedup_exact: single shuffle on the 64-bit hash, text never in the exchange") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    val df = SparkEntry.queries("t_dedup_exact")(spark, sfDir)
+    val plan = planOf(df)
+    // partial aggregation (map-side combine) must precede the exchange
+    val lines = plan.linesIterator.toVector
+    val exchangeIdx = lines.indexWhere(l => l.contains("Exchange hashpartitioning"))
+    assert(exchangeIdx >= 0, plan.take(1500))
+    val aggBelow = lines.drop(exchangeIdx).exists(_.contains("HashAggregate"))
+    assert(aggBelow, "no partial aggregate below the exchange")
+    val exchangeLine = lines(exchangeIdx)
+    assert(!exchangeLine.contains("text"), exchangeLine)
+  }
+
+  test("x_* renderPending stays a single narrow stage over the scan (no shuffle before extraction)") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    import spark.implicits._
+    val pending = graft.queries.QueryLib.renderPending(spark,
+      graft.queries.QueryLib.documents(spark, sfDir), "txt")
+    val plan = pending.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+}

@@ -55,6 +55,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(meta2.filter(col("doc_id") === "s1").count() == 1) // no reprocessing
   }
 
+  test("batch replay is idempotent: same batchId rewrites, never duplicates") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val batch = spark.createDataset(Seq(
+      PendingDoc("r1", "", Seq.empty, 0, "r1.txt", "", "replayed doc".getBytes)))
+      .toDF()
+    StreamingIngest.writeBatch(spark, batch, 7L, s"$base/spans", s"$base/meta")
+    val n1 = spark.read.parquet(s"$base/meta").count()
+    // simulate a post-failure replay of the SAME micro-batch
+    StreamingIngest.writeBatch(spark, batch, 7L, s"$base/spans", s"$base/meta")
+    assert(spark.read.parquet(s"$base/meta").count() == n1)
+    assert(spark.read.parquet(s"$base/spans")
+      .filter(col("text") === "replayed doc").count() == 1)
+    // a different batchId appends alongside
+    StreamingIngest.writeBatch(spark, batch, 8L, s"$base/spans", s"$base/meta")
+    assert(spark.read.parquet(s"$base/meta").count() == 2 * n1)
+  }
+
   test("watermarked windowed metrics over the events stream schema") {
     import spark.implicits._
     val eventsPath = "/root/testdata/sf0.001/events.parquet"
