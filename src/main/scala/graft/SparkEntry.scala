@@ -292,6 +292,19 @@ object SparkEntry {
         .select(col("qid"), col("cid"))
         .orderBy("qid")
     }),
+    // IVF variant, same planted-neighbor gate: spherical-k-means assignment
+    // is scaling-invariant, so each x2.0f query lands in its original's
+    // cell and rank-1 must be the planted original.
+    "s_ann_ivf" -> ((s, dir) => {
+      val emb = QueryLib.embeddings(s, dir)
+      val planted = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * 2.0f).as("embedding"))
+      Similarity.ivfTopK(s, emb, planted, "vec_id", "embedding", 5)
+        .filter(col("rank") === 1)
+        .select(col("qid"), col("cid"))
+        .orderBy("qid")
+    }),
     "e_embed_dups" -> ((s, dir) => {
       val emb = QueryLib.embeddings(s, dir)
         .select(col("vec_id").cast("long"), col("embedding"))
@@ -664,6 +677,9 @@ object SparkEntry {
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings
         |ORDER BY id_a, id_b""".stripMargin,
     "s_ann_lsh" ->
+      """SELECT vec_id + 1000000 AS qid, vec_id AS cid FROM embeddings
+        |WHERE vec_id < 100 ORDER BY qid""".stripMargin,
+    "s_ann_ivf" ->
       """SELECT vec_id + 1000000 AS qid, vec_id AS cid FROM embeddings
         |WHERE vec_id < 100 ORDER BY qid""".stripMargin,
     "s_ann_brute" ->

@@ -90,6 +90,27 @@ object Similarity {
       }.toDF("id", "table", "sig")
   }
 
+  /** Candidate (qid, cid) pairs → exact cosine rescore → per-query top-k.
+    * Query vectors broadcast (small side), corpus vectors fetched by ONE
+    * hash equi-join on cid — candidates are deduped before any vector
+    * bytes move. */
+  private def rescoreTopK(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String,
+                          cands: DataFrame, k: Int): DataFrame = {
+    val cvecs = corpus.select(col(idCol).cast("long").as("cid"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val qvecs = queries.select(col(idCol).cast("long").as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    cands
+      .join(broadcast(qvecs), "qid")
+      .join(cvecs, "cid")
+      .withColumn("sim", round(cosineCol(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("sim"))
+  }
+
   /** Random-hyperplane LSH top-k: `tables` independent signatures of `bits`
     * hyperplanes each; candidates = same (table, signature) bucket (queries
     * additionally probe one-bit-flipped buckets), exact-rescored and
@@ -109,19 +130,110 @@ object Similarity {
       .filter($"qid" =!= $"cid")
       .select($"qid", $"cid")
       .distinct()
-    val cvecs = corpus.select(col(idCol).cast("long").as("cid"),
-      col(vecCol).cast("array<double>").as("cv"))
-    val qvecs = queries.select(col(idCol).cast("long").as("qid"),
-      col(vecCol).cast("array<double>").as("qv"))
-    // vectors fetched exactly once per side: query side broadcast (small),
-    // corpus side one hash equi-join on cid
-    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
-    cands
-      .join(broadcast(qvecs), "qid")
-      .join(cvecs, "cid")
-      .withColumn("sim", round(cosineCol($"qv", $"cv"), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
-      .select($"qid", $"rank", $"cid", $"sim")
+    rescoreTopK(corpus, queries, idCol, vecCol, cands, k)
+  }
+
+  // ---- IVF (inverted-file) ANN ---------------------------------------------
+
+  /** Deterministic spherical k-means over a bounded sample: unit-normalized
+    * vectors, assignment by max dot product, mean-then-renormalize updates.
+    * Coarse-quantizer training is a small-sample job by construction (the
+    * standard IVF recipe) — only the assignment pass is distributed. */
+  private[ops] def trainCentroids(sample: Array[Array[Double]], kCells: Int,
+                                  iters: Int, seed: Long): Array[Array[Double]] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      var n = 0.0
+      var i = 0
+      while (i < v.length) { n += v(i) * v(i); i += 1 }
+      val inv = if (n > 0) 1.0 / math.sqrt(n) else 0.0
+      v.map(_ * inv)
+    }
+    val unit = sample.map(normalize).filter(_.exists(_ != 0.0))
+    if (unit.isEmpty) return Array(Array.fill(1)(0.0))
+    val k = math.min(kCells, unit.length)
+    val rng = new graft.corpus.CorpusGen.Rng(seed)
+    val centroids = Array.tabulate(k)(i => unit(((rng.nextLong() >>> 1) % unit.length).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](unit(0).length))
+      val counts = new Array[Int](k)
+      for (v <- unit) {
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var dot = 0.0
+          var i = 0
+          while (i < v.length && i < centroids(c).length) {
+            dot += v(i) * centroids(c)(i); i += 1
+          }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) centroids(c) = normalize(sums(c))
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  private[ops] def nearestCells(v: Array[Double],
+                                centroids: Array[Array[Double]],
+                                nProbe: Int): Array[Int] = {
+    val scored = centroids.indices.map { c =>
+      var dot = 0.0
+      var n = 0.0
+      var i = 0
+      while (i < v.length && i < centroids(c).length) {
+        dot += v(i) * centroids(c)(i); i += 1
+      }
+      i = 0
+      while (i < v.length) { n += v(i) * v(i); i += 1 }
+      (c, if (n > 0) dot / math.sqrt(n) else dot)
+    }
+    scored.sortBy { case (c, d) => (-d, c) }.take(nProbe).map(_._1).toArray
+  }
+
+  /** IVF top-k: spherical-k-means cells bucket the corpus (one narrow
+    * assignment pass under broadcast centroids — scaling-invariant, so
+    * direction-identical vectors always share a cell); each query probes
+    * its `nProbe` nearest cells; candidates equi-join on the cell id,
+    * vectors fetched once per side, exact rescore. The inverted lists are
+    * (cell, id) rows — the vector column never rides the bucket join. */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCells: Int = 64, nProbe: Int = 4, sampleN: Int = 2048,
+              iters: Int = 8, seed: Long = 0x9e3779b97f4a7c15L): DataFrame = {
+    import spark.implicits._
+    val sample = corpus.select(col(vecCol).cast("array<double>"))
+      .limit(sampleN).as[Array[Double]].collect()
+    val bCentroids = spark.sparkContext.broadcast(
+      trainCentroids(sample, nCells, iters, seed))
+
+    def assign(df: DataFrame, idName: String, probes: Int): DataFrame =
+      df.select(col(idCol).cast("long").as(idName),
+          col(vecCol).cast("array<double>").as("v"))
+        .as[(Long, Array[Double])]
+        .mapPartitions { it =>
+          val cs = bCentroids.value
+          it.flatMap { case (id, v) =>
+            nearestCells(v, cs, probes).iterator.map(cell => (id, cell))
+          }
+        }.toDF(idName, "cell")
+
+    val cLists = assign(corpus, "cid", 1)
+    val qLists = assign(queries, "qid", nProbe)
+    val cands = cLists.join(qLists, Seq("cell"))
+      .filter($"qid" =!= $"cid")
+      .select($"qid", $"cid")
+      .distinct()
+    rescoreTopK(corpus, queries, idCol, vecCol, cands, k)
   }
 }

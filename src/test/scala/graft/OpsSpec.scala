@@ -135,6 +135,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("ivf ANN: planted clusters recovered, cell join carries ids only") {
+    val rng = new graft.corpus.CorpusGen.Rng(17)
+    // 4 well-separated direction clusters in 16d
+    val vecs = (0L until 120L).map { i =>
+      val base = new Array[Float](16)
+      base((i % 4).toInt * 4) = 1.0f
+      (i, base.map(x => x + rng.nextDouble().toFloat * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 4)
+    val out = Similarity.ivfTopK(spark, vecs, q, "vec_id", "embedding", 5,
+      nCells = 4, nProbe = 1, sampleN = 120)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // every neighbor found must share the query's cluster (direction)
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (qid, cid) => qid % 4 == cid % 4 }, rows.take(10))
+    val plan = out.queryExecution.executedPlan.toString
+    val cellJoin = plan.linesIterator
+      .filter(l => l.contains("Join") && l.contains("cell")).mkString("\n")
+    assert(cellJoin.nonEmpty && !cellJoin.contains("cv") && !cellJoin.contains("qv"),
+      cellJoin)
+  }
+
   test("language id: distinctive marker words win; short text is und") {
     assert(TextOps.detectLanguage("der hund ist nicht in das haus und der garten") == "de")
     assert(TextOps.detectLanguage("le chat est dans la maison et le jardin") == "fr")
