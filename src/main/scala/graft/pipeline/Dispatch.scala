@@ -41,8 +41,7 @@ object Dispatch {
     VCardExtractor,
     CalendarExtractor,
     CsvExtractor,
-    new UnsupportedExtractor("AccessIngestor", "Workbook",
-      "Access extraction requires mdbtools; unsupported in this build"),
+    AccessExtractor,
     SqliteExtractor,
     XlsExtractor,
     XlsxExtractor,

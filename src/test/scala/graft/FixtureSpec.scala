@@ -293,6 +293,22 @@ class FixtureSpec extends AnyFunSuite {
     assert(body.contains("Azad Kashmir") && body.contains("Pakistan"), body.take(300))
   }
 
+  test("Books_be.mdb: Jet3 tables + rows (test_access.py: Authors, rowCount 4 = 3 rows + header)") {
+    assume_("Books_be.mdb")
+    val r = AccessExtractor.extract(RawDoc("d", "Books_be.mdb",
+      "application/x-msaccess", bytes("Books_be.mdb")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    val sheets = r.properties.getOrElse("sheets", Nil)
+    assert(sheets.contains("Authors") && sheets.contains("Books"), sheets)
+    val body = bodyOf(r)
+    assert(body.contains("Carlson, Roger"), body.take(400))
+    assert(body.contains("Clancy, Tom"), body.take(400))
+    assert(body.contains("Shakespeare, William"), body.take(400))
+    // 3 Authors + 5 Books rows, +1 header quirk
+    assert(r.properties.getOrElse("rowCount", Nil).headOption.contains("9"),
+      r.properties.get("rowCount"))
+  }
+
   test("john-doe.vcf: person name + phone (test_vcard.py:8-16)") {
     assume_("john-doe.vcf")
     val r = VCardExtractor.extract(RawDoc("d", "john-doe.vcf", "", bytes("john-doe.vcf")))
