@@ -74,6 +74,19 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("text").as("body"))
         .orderBy("doc_id")
     }),
+    // 7z roundtrip: Copy-codec container written Spark-side → pipeline
+    // (SevenZipIngestor header+folder decode → PlainText child)
+    "x_7z" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "7z"))
+      val children = out.meta.toDF().filter(col("depth") === 1)
+        .select(col("parent_id").cast("long").as("doc_id"),
+          col("doc_id").as("child_id"), col("file_name"))
+      val body = out.spans.toDF().filter(col("kind") === "text")
+        .select(col("doc_id").as("child_id"), col("text").as("body"))
+      children.join(body, "child_id")
+        .select(col("doc_id"), col("file_name"), col("body"))
+        .orderBy("doc_id")
+    }),
     // bz2 roundtrip: Spark-side bzip2 encoder → pipeline (BZ2Ingestor
     // decode → PlainText child) → body equals the original text
     "x_bz2" -> ((s, dir) => {
@@ -506,6 +519,9 @@ object SparkEntry {
       "SELECT doc_id, text AS body FROM documents ORDER BY doc_id",
     "x_bz2" ->
       """SELECT doc_id, 'doc' || doc_id || '.txt' AS file_name, text AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_7z" ->
+      """SELECT doc_id, 'inner' || doc_id || '.txt' AS file_name, text AS body
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x_targz" ->
       """SELECT doc_id, 'a.txt' AS file_name, text AS body FROM documents

@@ -367,7 +367,8 @@ object CorpusGen {
     "html" -> 22, "txt" -> 11, "txt_latin1" -> 3, "txt_utf16" -> 2,
     "csv" -> 9, "json" -> 8, "xml" -> 5, "pdf" -> 7, "eml" -> 7,
     "eml_alt" -> 4, "eml_attach" -> 4, "mbox" -> 4, "zip" -> 6,
-    "zip_nested" -> 2, "gz" -> 3, "bz2" -> 2, "tar" -> 2, "msg" -> 3, "dbf" -> 2,
+    "zip_nested" -> 2, "gz" -> 3, "bz2" -> 2, "7z" -> 1, "tar" -> 2,
+    "msg" -> 3, "dbf" -> 2,
     "docx" -> 4, "xlsx" -> 3, "xls" -> 2, "vcf" -> 1, "ics" -> 1,
     "empty" -> 1, "garbage" -> 2)
 
@@ -438,6 +439,9 @@ object CorpusGen {
       case "bz2" =>
         GenDoc(id, s"$id.txt.bz2", fmt,
           graft.extract.Bzip2.compress(body.take(8000).getBytes("UTF-8")))
+      case "7z" =>
+        GenDoc(id, s"$id.7z", fmt, graft.extract.SevenZipWriter.write(
+          s"m$idx.txt", body.take(8000).getBytes("UTF-8")))
       case "tar" =>
         GenDoc(id, s"$id.tar", fmt, renderTar(Seq(
           (s"a$idx.txt", words(rng, 40).mkString(" ").getBytes("UTF-8")),

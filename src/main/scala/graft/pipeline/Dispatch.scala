@@ -27,8 +27,7 @@ object Dispatch {
       "Could not unpack the contents of this file."),
     ZipExtractor,
     TarExtractor,
-    new UnsupportedExtractor("SevenZipIngestor", "Package",
-      "Could not unpack the contents of this file."),
+    SevenZipExtractor,
     GzipExtractor,
     Bz2Extractor,
     new UnsupportedExtractor("OutlookPSTIngestor", "Package",

@@ -97,6 +97,9 @@ object QueryLib extends Serializable {
       case "bz2" =>
         (s"doc$id.txt.bz2",
           graft.extract.Bzip2.compress(text.getBytes("UTF-8")))
+      case "7z" =>
+        (s"doc$id.7z", graft.extract.SevenZipWriter.write(
+          s"inner$id.txt", text.getBytes("UTF-8")))
       case "rtf" =>
         val esc = text.replace("\\", "\\\\").replace("{", "\\{").replace("}", "\\}")
         val rtf = "{\\rtf1\\ansi{\\fonttbl{\\f0 Helvetica;}}\\f0\\fs24 " +

@@ -128,6 +128,45 @@ class FixtureSpec extends AnyFunSuite {
     assert(r.children.nonEmpty)
   }
 
+  test("500_pages.7z: LZMA2 archive unpacks to the pdf (test_archives.py:5-11)") {
+    assume_("500_pages.7z")
+    val r = SevenZipExtractor.extract(RawDoc("d", "500_pages.7z",
+      "application/x-7z-compressed", bytes("500_pages.7z")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(r.children.length == 1, r.children.map(_.file_name))
+    val child = r.children.head
+    assert(child.file_name.endsWith(".pdf"), child.file_name)
+    // decoded payload must be the real 500-page PDF
+    assert(new String(child.bytes.take(5), "ISO-8859-1") == "%PDF-")
+    val pdf = PdfExtractor.extract(RawDoc("c", child.file_name,
+      "application/pdf", child.bytes))
+    assert(pdf.status == ExtractionResult.Success, pdf.error)
+    assert(pdf.spans.count(_.kind == SpanKinds.Page) == 500)
+  }
+
+  test("500_pages.7z.001: split fragment is a clean failure (test_archives.py:13-20)") {
+    assume_("500_pages.7z.001")
+    val r = SevenZipExtractor.extract(RawDoc("d", "500_pages.7z.001",
+      "application/x-7z-compressed", bytes("500_pages.7z.001")))
+    assert(r.status == ExtractionResult.Failure)
+  }
+
+  test("7z_password.7z: encrypted contract (test_packages.py:93-99)") {
+    assume_("7z_password.7z")
+    val r = SevenZipExtractor.extract(RawDoc("d", "7z_password.7z",
+      "application/x-7z-compressed", bytes("7z_password.7z")))
+    assert(r.status == ExtractionResult.Failure)
+    assert(r.error == ProcessingError.EncryptedMsg, r.error)
+  }
+
+  test("bad7zip.7z: symlink-escape fixture fails or stays contained (test_packages.py:78-90)") {
+    assume_("bad7zip.7z")
+    val r = SevenZipExtractor.extract(RawDoc("d", "bad7zip.7z",
+      "application/x-7z-compressed", bytes("bad7zip.7z")))
+    assert(r.children.forall(c => !c.file_name.startsWith("/") &&
+      !c.file_name.contains("..")), r.children.map(_.file_name))
+  }
+
   test("badzip.zip symlink escape: symlink becomes a normal file child (test_packages.py:15-32)") {
     assume_("badzip.zip")
     val r = ZipExtractor.extract(RawDoc("d", "badzip.zip", "application/zip",
