@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   * analysis stage; pipeline_* full-corpus runs (rows-only checks). */
 object SparkEntry {
 
+  /** Seq-ordered concatenation of a document's text spans. */
+  private def joinedBody(out: Pipeline.Output): DataFrame =
+    out.spans.toDF().filter(col("kind") === "text")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("seq"), col("text"))))
+        .getField("text")).as("body"))
+
+  /** render → pipeline → (doc_id, body) for formats whose whole text
+    * roundtrips verbatim. */
+  private def bodyRoundtrip(s: SparkSession, dir: String,
+                            renderer: String): DataFrame = {
+    val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), renderer))
+    joinedBody(out)
+      .select(col("doc_id").cast("long").as("doc_id"), col("body"))
+      .orderBy("doc_id")
+  }
+
   /** Flagship: full extraction pipeline over the synthetic interleaved
     * corpus at smoke scale; driver checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -205,6 +222,80 @@ object SparkEntry {
       children.join(body, "child_id")
         .select(col("doc_id"), col("subject"), col("body"))
         .orderBy("doc_id", "subject")
+    }),
+    // ---- simple body roundtrips: render → extract → body == text -------
+    "x_txt" -> ((s, dir) => bodyRoundtrip(s, dir, "txt")),
+    "x_xml" -> ((s, dir) => bodyRoundtrip(s, dir, "xml")),
+    "x_svg" -> ((s, dir) => bodyRoundtrip(s, dir, "svg")),
+    "x_odt" -> ((s, dir) => bodyRoundtrip(s, dir, "odt")),
+    "x_ods" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "ods"))
+      val meta = out.meta.toDF().select(col("doc_id"),
+        QueryLib.prop("rowCount").cast("long").as("row_count"),
+        QueryLib.prop("sheets").as("sheet"))
+      meta.join(joinedBody(out), "doc_id")
+        .select(col("doc_id").cast("long").as("doc_id"), col("sheet"),
+          col("row_count"), col("body"))
+        .orderBy("doc_id")
+    }),
+    "x_dbf" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "dbf"))
+      val meta = out.meta.toDF().select(col("doc_id"),
+        QueryLib.prop("rowCount").cast("long").as("row_count"))
+      meta.join(joinedBody(out), "doc_id")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("row_count"), col("body"))
+        .orderBy("doc_id")
+    }),
+    "x_msg" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "msg"))
+      val meta = out.meta.toDF().select(col("doc_id"),
+        QueryLib.prop("subject").as("subject"),
+        QueryLib.prop("emitters").as("sender"))
+      meta.join(joinedBody(out), "doc_id")
+        .select(col("doc_id").cast("long").as("doc_id"), col("subject"),
+          col("sender"), col("body"))
+        .orderBy("doc_id")
+    }),
+    "x_emlx" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "emlx"))
+      val meta = out.meta.toDF().select(col("doc_id"),
+        QueryLib.prop("subject").as("subject"))
+      val body = out.spans.toDF().filter(col("kind") === "text")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), """^\s+|\s+$""", "").as("body"))
+      meta.join(body, "doc_id")
+        .select(col("doc_id").cast("long").as("doc_id"), col("subject"), col("body"))
+        .orderBy("doc_id")
+    }),
+    // OLM archive: zip → message XML child (depth 1) → subject/body
+    "x_olm" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "olm"))
+      val children = out.meta.toDF().filter(col("depth") === 1)
+        .select(col("parent_id").cast("long").as("doc_id"),
+          col("doc_id").as("child_id"),
+          QueryLib.prop("subject").as("subject"))
+      val body = out.spans.toDF().filter(col("kind") === "text")
+        .select(col("doc_id").as("child_id"), col("text").as("body"))
+      children.join(body, "child_id")
+        .select(col("doc_id"), col("subject"), col("body"))
+        .orderBy("doc_id")
+    }),
+    "x_vcf" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "vcf"))
+      out.meta.toDF()
+        .select(col("doc_id").cast("long").as("doc_id"),
+          QueryLib.prop("peopleMentioned").as("person"),
+          QueryLib.prop("emailMentioned").as("email"))
+        .orderBy("doc_id")
+    }),
+    "x_ics" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "ics"))
+      out.meta.toDF()
+        .select(col("doc_id").cast("long").as("doc_id"),
+          QueryLib.prop("eventsMentioned").as("event"),
+          QueryLib.prop("emailMentioned").as("email"))
+        .orderBy("doc_id")
     }),
     "x_classify" -> ((s, dir) => {
       import s.implicits._
@@ -570,6 +661,46 @@ object SparkEntry {
         |FROM (SELECT doc_id, text, unnest(range(doc_id % 3 + 1)) AS part
         |      FROM documents)
         |ORDER BY doc_id, subject""".stripMargin,
+    "x_txt" ->
+      "SELECT doc_id, text AS body FROM documents ORDER BY doc_id",
+    "x_xml" ->
+      "SELECT doc_id, text AS body FROM documents ORDER BY doc_id",
+    "x_svg" ->
+      "SELECT doc_id, text AS body FROM documents ORDER BY doc_id",
+    "x_odt" ->
+      "SELECT doc_id, text AS body FROM documents ORDER BY doc_id",
+    "x_ods" ->
+      """SELECT doc_id,
+        |       'Sheet ' || doc_id AS sheet,
+        |       CAST(ceil(len(string_split(text, ' ')) / 4.0) AS BIGINT) + 1 AS row_count,
+        |       text AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_dbf" ->
+      """SELECT doc_id,
+        |       CAST(ceil(len(string_split(text, ' ')) / 3.0) AS BIGINT) + 1 AS row_count,
+        |       array_to_string(list_transform(string_split(text, ' '),
+        |         x -> substring(x, 1, 24)), ' ') AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_msg" ->
+      """SELECT doc_id,
+        |       'Doc ' || doc_id AS subject,
+        |       'alice@graft.test' AS sender,
+        |       text AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_emlx" ->
+      "SELECT doc_id, 'Doc ' || doc_id AS subject, text AS body FROM documents ORDER BY doc_id",
+    "x_olm" ->
+      "SELECT doc_id, 'Doc ' || doc_id AS subject, text AS body FROM documents ORDER BY doc_id",
+    "x_vcf" ->
+      """SELECT doc_id,
+        |       'Person ' || doc_id AS person,
+        |       'user' || doc_id || '@graft.test' AS email
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_ics" ->
+      """SELECT doc_id,
+        |       'Event ' || doc_id AS event,
+        |       'host' || doc_id || '@graft.test' AS email
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_classify" ->
       """SELECT doc_id,
         |       CASE doc_id % 9

@@ -199,6 +199,79 @@ object CorpusGen {
       ("xl/worksheets/sheet1.xml", sheet.getBytes("UTF-8"))))
   }
 
+  private def xmlEsc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Minimal ODT: content.xml paragraphs (+ mimetype entry like real ODF). */
+  def renderOdt(paragraphs: Seq[String]): Array[Byte] = {
+    val content =
+      """<?xml version="1.0"?><office:document-content
+        | xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+        | xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+        |<office:body><office:text>""".stripMargin +
+        paragraphs.map(p => s"<text:p>${xmlEsc(p)}</text:p>").mkString +
+        "</office:text></office:body></office:document-content>"
+    renderZip(Seq(
+      ("mimetype", "application/vnd.oasis.opendocument.text".getBytes("UTF-8")),
+      ("content.xml", content.getBytes("UTF-8"))))
+  }
+
+  /** Minimal ODS: one table of rows. */
+  def renderOds(sheetName: String, rows: Seq[Seq[String]]): Array[Byte] = {
+    val content =
+      """<?xml version="1.0"?><office:document-content
+        | xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+        | xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+        | xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+        |<office:body><office:spreadsheet>""".stripMargin +
+        s"""<table:table table:name="${xmlEsc(sheetName)}">""" +
+        rows.map(r => "<table:table-row>" + r.map(v =>
+          s"<table:table-cell><text:p>${xmlEsc(v)}</text:p></table:table-cell>")
+          .mkString + "</table:table-row>").mkString +
+        "</table:table></office:spreadsheet></office:body></office:document-content>"
+    renderZip(Seq(
+      ("mimetype", "application/vnd.oasis.opendocument.spreadsheet".getBytes("UTF-8")),
+      ("content.xml", content.getBytes("UTF-8"))))
+  }
+
+  /** Minimal SVG with a text node. */
+  def renderSvg(text: String): Array[Byte] =
+    (s"""<?xml version="1.0"?><svg xmlns="http://www.w3.org/2000/svg">""" +
+      s"<text>${xmlEsc(text)}</text></svg>").getBytes("UTF-8")
+
+  /** Apple emlx: byte-length prefix line + RFC822 payload + plist tail. */
+  def renderEmlx(eml: Array[Byte]): Array[Byte] = {
+    val prefix = (eml.length.toString + "\n").getBytes("US-ASCII")
+    val plist = "<?xml version=\"1.0\"?><plist><dict/></plist>".getBytes("UTF-8")
+    prefix ++ eml ++ plist
+  }
+
+  /** Outlook .msg via the CFBF writer (subject/body/sender/recipient). */
+  def renderMsg(subject: String, body: String): Array[Byte] = {
+    def u16(s: String) = s.getBytes("UTF-16LE")
+    graft.extract.Cfbf.write(Seq(
+      "__substg1.0_0037001F" -> u16(subject),
+      "__substg1.0_1000001F" -> u16(body),
+      "__substg1.0_0C1F001F" -> u16("alice@graft.test"),
+      "__recip_version1.0_#00000000/__substg1.0_39FE001F" ->
+        u16("bob@graft.test")))
+  }
+
+  /** Minimal OLM archive: one OPF message XML inside the zip. */
+  def renderOlm(subject: String, body: String): Array[Byte] = {
+    val xml =
+      s"""<?xml version="1.0"?><emails><email>
+         |<OPFMessageCopySubject>${xmlEsc(subject)}</OPFMessageCopySubject>
+         |<OPFMessageCopyMessageID>mid-${subject.hashCode}</OPFMessageCopyMessageID>
+         |<OPFMessageCopyFromAddresses>
+         |<emailAddress OPFContactEmailAddressAddress="alice@graft.test"/>
+         |</OPFMessageCopyFromAddresses>
+         |<OPFMessageCopyBody>${xmlEsc(body)}</OPFMessageCopyBody>
+         |</email></emails>""".stripMargin
+    renderZip(Seq(
+      ("Accounts/main/Inbox/message_0001.xml", xml.getBytes("UTF-8"))))
+  }
+
   /** Minimal RIFF/WAVE: fmt (16-bit mono PCM at sampleRate) + zeroed data
     * chunk — duration = dataSize·1000 / byteRate. */
   def renderWav(sampleRate: Int, dataSize: Int): Array[Byte] = {

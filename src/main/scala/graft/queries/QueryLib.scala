@@ -86,6 +86,38 @@ object QueryLib extends Serializable {
           ("a.txt", text.getBytes("UTF-8")),
           ("b.txt", s"copy of doc $id".getBytes("UTF-8"))))
         (s"doc$id.tar.gz", CorpusGen.renderGzip(tar))
+      case "xml" =>
+        (s"doc$id.xml", CorpusGen.renderXml("doc",
+          text.split(" ").grouped(12).map(_.mkString(" ")).toSeq))
+      case "svg" =>
+        (s"doc$id.svg", CorpusGen.renderSvg(text))
+      case "odt" =>
+        (s"doc$id.odt", CorpusGen.renderOdt(
+          text.split(" ").grouped(12).map(_.mkString(" ")).toSeq))
+      case "ods" =>
+        (s"doc$id.ods", CorpusGen.renderOds(s"Sheet $id",
+          text.split(" ").grouped(4).map(_.toSeq).toSeq))
+      case "dbf" =>
+        val rows = text.split(" ").grouped(3)
+          .map(_.map(_.take(24)).toSeq).toSeq
+        (s"doc$id.dbf", graft.extract.DbfWriter.write(
+          Seq(("COL_A", 24), ("COL_B", 24), ("COL_C", 24)), rows))
+      case "msg" =>
+        (s"doc$id.msg", CorpusGen.renderMsg(s"Doc $id", text))
+      case "emlx" =>
+        val (_, eml) = render("eml", id, text)
+        (s"doc$id.emlx", CorpusGen.renderEmlx(eml))
+      case "olm" =>
+        (s"doc$id.olm", CorpusGen.renderOlm(s"Doc $id", text))
+      case "vcf" =>
+        val v = s"BEGIN:VCARD\r\nVERSION:3.0\r\nFN:Person $id\r\n" +
+          s"EMAIL:user$id@graft.test\r\nEND:VCARD\r\n"
+        (s"doc$id.vcf", v.getBytes("UTF-8"))
+      case "ics" =>
+        val v = "BEGIN:VCALENDAR\r\nBEGIN:VEVENT\r\n" +
+          s"SUMMARY:Event $id\r\nORGANIZER:mailto:host$id@graft.test\r\n" +
+          "END:VEVENT\r\nEND:VCALENDAR\r\n"
+        (s"doc$id.ics", v.getBytes("UTF-8"))
       case "sqlite" =>
         val rows = text.split(" ").grouped(5).map(_.toSeq).toSeq
         (s"doc$id.sqlite", graft.extract.Sqlite.write("docs",
