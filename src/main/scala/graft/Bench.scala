@@ -75,8 +75,9 @@ object Bench {
     val benchQueries =
       if (sys.env.contains("SPARK_GRAFT_PIPELINE_ONLY")) Seq.empty[String]
       else Seq("x_html", "x_zip_children", "t_quality",
-        "t_token_count", "t_minhash_lsh", "t_simhash", "s_ann_brute",
-        "s_ann_lsh", "a_patterns", "a_thread_join")
+        "t_token_count", "t_lang_id", "t_minhash_lsh", "t_simhash",
+        "s_ann_brute", "s_ann_lsh", "s_ann_ivf", "a_patterns",
+        "a_thread_join")
     for (q <- benchQueries) {
       val fn = SparkEntry.queries(q)
       val (sec, _) = time {

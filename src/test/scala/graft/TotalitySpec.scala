@@ -72,7 +72,17 @@ class TotalitySpec extends AnyFunSuite {
         g.renderPdf(Seq(Seq("hello pdf"))),
         g.renderEml("s", "a@x.y", "b@x.y", "body", htmlAlt = true, None),
         g.renderTar(Seq(("a.txt", "hi".getBytes))),
-        g.renderGzip("text".getBytes))
+        g.renderGzip("text".getBytes),
+        g.renderXls("S", Seq(Seq("alpha", "beta"), Seq("gamma", "delta"))),
+        g.renderMsg("subj", "msg body"),
+        g.renderOdt(Seq("one paragraph")),
+        g.renderWav(16000, 2000),
+        g.renderMp3("t", 1234L),
+        graft.extract.Bzip2.compress("bz2 payload for the fuzz".getBytes),
+        graft.extract.SevenZipWriter.write("a.txt", "seven zip member".getBytes),
+        graft.extract.Sqlite.write("t", Seq("a", "b"), Seq(Seq("x", "y"))),
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+          "/root/reference/tests/fixtures/Books_be.mdb")))
     }
     val mutGen = for {
       doc <- Gen.oneOf(seedDocs)
