@@ -205,6 +205,82 @@ object Pipeline {
     Output(spans, meta, lineage, persisted.toSeq)
   }
 
+  /** Durable variant of [[run]]: every depth level is committed to
+    * `snapshotDir/depth=N` as parquet (spans, meta, lineage, children)
+    * with a `_COMPLETE` marker — the local-filesystem equivalent of the
+    * Iceberg snapshot-per-level commit the north rule requires. A killed
+    * job re-invoked with the same snapshotDir skips every completed level
+    * (children are read back from the snapshot instead of recomputed), so
+    * work lost is bounded by one level. Unlike localCheckpoint this
+    * survives executor AND driver loss.
+    *
+    * @param maxDepthOverride stop early (used by tests to simulate a kill
+    *   between levels). */
+  def runDurable(spark: SparkSession, pending0: Dataset[PendingDoc],
+                 snapshotDir: String, cfg: Config = Config(),
+                 maxDepthOverride: Int = Int.MaxValue): (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val fs = new java.io.File(snapshotDir)
+    fs.mkdirs()
+    var pending = pending0
+    var depth = 0
+    var done = false
+    val maxDepth = math.min(cfg.maxDepth, maxDepthOverride)
+    while (!done && depth <= maxDepth) {
+      val dir = s"$snapshotDir/depth=$depth"
+      val marker = new java.io.File(s"$dir/_COMPLETE")
+      if (marker.exists()) {
+        // committed by a previous (possibly killed) run: resume from it
+        pending = spark.read.parquet(s"$dir/children").as[PendingDoc]
+      } else {
+        val cur = pending.persist(StorageLevel.MEMORY_AND_DISK_SER)
+        val n = cur.count()
+        if (n == 0) {
+          // write an empty terminal level so resume stops here too
+          spark.emptyDataset[PendingDoc].write.mode("overwrite")
+            .parquet(s"$dir/children")
+          spark.emptyDataset[SpanOut].write.mode("overwrite")
+            .parquet(s"$dir/spans")
+          spark.emptyDataset[DocMeta].write.mode("overwrite")
+            .parquet(s"$dir/meta")
+          spark.emptyDataset[LineageRow].write.mode("overwrite")
+            .parquet(s"$dir/lineage")
+          marker.createNewFile()
+          cur.unpersist(false)
+          done = true
+        } else {
+          val results = cur.mapPartitions(_.map(processOne))
+            .persist(StorageLevel.MEMORY_AND_DISK_SER)
+          results.flatMap(_.spans).write.mode("overwrite").parquet(s"$dir/spans")
+          results.map(_.meta).write.mode("overwrite").parquet(s"$dir/meta")
+          results.mapPartitions { it =>
+            val pid = TaskContext.getPartitionId()
+            it.map(r => LineageRow(pid, r.meta.doc_id, r.meta.ingestor,
+              r.meta.processing_status, r.meta.depth))
+          }.write.mode("overwrite").parquet(s"$dir/lineage")
+          results.flatMap(_.children).write.mode("overwrite").parquet(s"$dir/children")
+          marker.createNewFile() // the commit point
+          results.unpersist(false)
+          cur.unpersist(false)
+          pending = spark.read.parquet(s"$dir/children").as[PendingDoc]
+        }
+      }
+      if (!done) {
+        // terminal when the committed children set is empty
+        if (new java.io.File(s"$dir/_COMPLETE").exists() &&
+            spark.read.parquet(s"$dir/children").isEmpty) done = true
+      }
+      depth += 1
+    }
+    // outputs = union over committed levels
+    val levels = fs.listFiles().filter(f => f.isDirectory &&
+      f.getName.startsWith("depth=") &&
+      new java.io.File(f, "_COMPLETE").exists()).map(_.getPath).sorted
+    def unionOf(part: String): DataFrame =
+      levels.map(l => spark.read.parquet(s"$l/$part")).reduce(_ unionByName _)
+    (unionOf("spans"), unionOf("meta"), unionOf("lineage"))
+  }
+
   /** Per-ingestor success/failure/byte counters — the Prometheus metrics of
     * the reference (`manager.py:29-65`) as a plain partial-aggregable
     * groupBy (map-side combine, one small shuffle). */

@@ -131,6 +131,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(2000))
   }
 
+  test("durable snapshots: killed-then-resumed run equals the uninterrupted run") {
+    import spark.implicits._
+    val zip = CorpusGen.renderZip(Seq(("in.txt", "zipped body".getBytes)))
+    val p = pending(("d1", "a.html", "<html><body><p>web</p></body></html>".getBytes),
+      ("d2", "b.zip", zip))
+    val base = java.nio.file.Files.createTempDirectory("graft-snap").toString
+
+    // full uninterrupted run, separate snapshot dir
+    val (s0, m0, _) = Pipeline.runDurable(spark, p, s"$base/full")
+    val expectSpans = s0.collect().map(_.toString).sorted.toVector
+    val expectMeta = m0.count()
+
+    // "killed" run: commits depth 0 only, then stops
+    Pipeline.runDurable(spark, p, s"$base/killed", maxDepthOverride = 0)
+    val d0files = new java.io.File(s"$base/killed/depth=0/spans").list().sorted.toVector
+    assert(new java.io.File(s"$base/killed/depth=0/_COMPLETE").exists())
+    assert(!new java.io.File(s"$base/killed/depth=1").exists())
+
+    // resume: completes depth 1+ without recomputing depth 0
+    val (s1, m1, l1) = Pipeline.runDurable(spark, p, s"$base/killed")
+    assert(new java.io.File(s"$base/killed/depth=0/spans").list().sorted.toVector
+      == d0files, "depth 0 was rewritten on resume")
+    assert(s1.collect().map(_.toString).sorted.toVector == expectSpans)
+    assert(m1.count() == expectMeta)
+    // lineage carries partition provenance for every committed row
+    assert(l1.count() == expectMeta)
+    // child of the zip got extracted on the resumed run
+    assert(m1.filter(org.apache.spark.sql.functions.col("doc_id") === "d2/0")
+      .count() == 1)
+  }
+
   test("resume: committed docs are skipped, failures are retried (left_anti recovery)") {
     import spark.implicits._
     val p = pending(
