@@ -223,6 +223,16 @@ object SparkEntry {
         .select(col("doc_id"), col("subject"), col("body"))
         .orderBy("doc_id", "subject")
     }),
+    // Boilerplate strip: nav/sidebar/footer chrome must vanish, the
+    // article text must survive verbatim (text-density main-content
+    // heuristic of the north star).
+    "x_html_main" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "html_boiler"))
+      out.meta.toDF()
+        .select(col("doc_id").cast("long").as("doc_id"),
+          QueryLib.prop("mainText").as("main_text"))
+        .orderBy("doc_id")
+    }),
     // ---- simple body roundtrips: render → extract → body == text -------
     "x_txt" -> ((s, dir) => bodyRoundtrip(s, dir, "txt")),
     "x_xml" -> ((s, dir) => bodyRoundtrip(s, dir, "xml")),
@@ -661,6 +671,8 @@ object SparkEntry {
         |FROM (SELECT doc_id, text, unnest(range(doc_id % 3 + 1)) AS part
         |      FROM documents)
         |ORDER BY doc_id, subject""".stripMargin,
+    "x_html_main" ->
+      "SELECT doc_id, text AS main_text FROM documents ORDER BY doc_id",
     "x_txt" ->
       "SELECT doc_id, text AS body FROM documents ORDER BY doc_id",
     "x_xml" ->

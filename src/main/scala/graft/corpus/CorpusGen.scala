@@ -202,6 +202,28 @@ object CorpusGen {
   private def xmlEsc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
+  /** A realistic boilerplate-heavy page: nav menu, link sidebar, footer —
+    * and one article div whose text is the payload. Exercises the
+    * text-density main-content heuristic (HtmlDom.mainContent). */
+  def renderBoilerplateHtml(title: String, article: String): Array[Byte] = {
+    val esc = (s: String) => s.replace("&", "&amp;").replace("<", "&lt;")
+    val nav = (1 to 8).map(i => s"""<a href="/s$i">Section number $i</a>""").mkString(" | ")
+    val side = (1 to 10).map(i =>
+      s"""<a href="/rel$i">Related reading item $i</a>""").mkString("<br>")
+    val html =
+      s"""<!DOCTYPE html><html><head><title>${esc(title)}</title></head>
+         |<body>
+         |<div class="menu">$nav</div>
+         |<div class="wrap">
+         |<div class="sidebar">$side<br>Subscribe to the newsletter today</div>
+         |<div class="article"><p>${esc(article)}</p></div>
+         |</div>
+         |<div class="footer">Copyright legal terms privacy contact
+         |<a href="/a">about</a> <a href="/b">jobs</a> <a href="/c">press</a></div>
+         |</body></html>""".stripMargin
+    html.getBytes("UTF-8")
+  }
+
   /** Minimal ODT: content.xml paragraphs (+ mimetype entry like real ODF). */
   def renderOdt(paragraphs: Seq[String]): Array[Byte] = {
     val content =

@@ -267,6 +267,65 @@ object HtmlDom {
     allElements(root).filter(_.tag == tag)
 
   /** Concatenated text content of an element's subtree (no skipping). */
+  /** Main-content extraction by text-density scoring (the Readability/
+    * Boilerpipe family of public heuristics, per the north star's
+    * "jsoup-style DOM boilerplate stripping with text-density
+    * heuristics"): every block-level element is scored by
+    * own-text length × (1 − link-text ratio), discounted for link-heavy
+    * navigation/footer chrome; the best-scoring block subtree (with the
+    * scores of its block children aggregated) wins. */
+  def mainContent(root: HElem): String = {
+    val blockTags = Set("div", "article", "main", "section", "td", "body")
+    val skipTags = Set("script", "style", "nav", "header", "footer", "aside",
+      "noscript", "form")
+
+    /** (textLen, linkTextLen) of a subtree, skipping chrome tags. */
+    def measure(n: HNode, inLink: Boolean): (Int, Int) = n match {
+      case HText(t) =>
+        val len = graft.core.TextUtil.collapseSpaces(t).length
+        (len, if (inLink) len else 0)
+      case e: HElem if skipTags.contains(e.tag) => (0, 0)
+      case e: HElem =>
+        val link = inLink || e.tag == "a"
+        e.children.foldLeft((0, 0)) { case ((t, l), c) =>
+          val (ct, cl) = measure(c, link)
+          (t + ct, l + cl)
+        }
+    }
+
+    def score(e: HElem): Double = {
+      val (t, l) = measure(e, inLink = false)
+      if (t == 0) 0.0
+      // readability-family content score: link-free mass, quadratically
+      // discounted by link density — a nav-wrapped parent can't outrun the
+      // pure-prose block it contains
+      else (t - l).toDouble * (1.0 - l.toDouble / t)
+    }
+
+    val candidates = Vector.newBuilder[(HElem, Double, Int)]
+    def walk(e: HElem, depth: Int): Unit = {
+      if (!skipTags.contains(e.tag)) {
+        if (blockTags.contains(e.tag)) candidates += ((e, score(e), depth))
+        e.children.foreach { case c: HElem => walk(c, depth + 1); case _ => () }
+      }
+    }
+    walk(root, 0)
+    val all = candidates.result()
+    if (all.isEmpty) return graft.core.TextUtil.collapseSpaces(textContent(root))
+    val top = all.map(_._2).max
+    // a parent that only wraps the winner plus link chrome ties with it —
+    // among near-ties (within 2%), the DEEPEST block is the content
+    val best = all.filter(_._2 >= top * 0.98).maxBy(_._3)._1
+
+    val sb = new StringBuilder
+    def emit(n: HNode): Unit = n match {
+      case HText(t) => sb.append(t).append(' ')
+      case e: HElem => if (!skipTags.contains(e.tag)) e.children.foreach(emit)
+    }
+    emit(best)
+    graft.core.TextUtil.collapseSpaces(sb.toString)
+  }
+
   def textContent(e: HElem): String = {
     val sb = new StringBuilder
     def walk(n: HNode): Unit = n match {

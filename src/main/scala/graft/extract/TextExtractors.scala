@@ -98,10 +98,19 @@ object HtmlExtractor extends Extractor {
   protected def run(doc: RawDoc): ExtractionResult = {
     val body = Encoding.readDecoded(doc.bytes)
     if (body.trim.isEmpty) return ExtractionResult.success(schema)
-    val (text, props) = extractContent(body, withMetadata = true)
+    val root = HtmlDom.parse(body)
+    val props = headerProps(root)
+    val text = extractText(root)
+    // text-density boilerplate strip (north-star main-content heuristic):
+    // recorded alongside the full text when the page carries chrome
+    val main = HtmlDom.mainContent(root)
     val spans =
       if (filterText(text)) Vector(Span(SpanKinds.Text, text, "", 0)) else Vector.empty
-    ExtractionResult.success(schema, spans, props + ("bodyHtml" -> Seq(body)))
+    val mainProp =
+      if (main.nonEmpty && main != text) Map("mainText" -> Seq(main))
+      else Map.empty[String, Seq[String]]
+    ExtractionResult.success(schema, spans,
+      props ++ mainProp + ("bodyHtml" -> Seq(body)))
   }
 }
 

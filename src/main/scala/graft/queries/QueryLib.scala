@@ -86,6 +86,8 @@ object QueryLib extends Serializable {
           ("a.txt", text.getBytes("UTF-8")),
           ("b.txt", s"copy of doc $id".getBytes("UTF-8"))))
         (s"doc$id.tar.gz", CorpusGen.renderGzip(tar))
+      case "html_boiler" =>
+        (s"doc$id.html", CorpusGen.renderBoilerplateHtml(s"Doc $id", text))
       case "xml" =>
         (s"doc$id.xml", CorpusGen.renderXml("doc",
           text.split(" ").grouped(12).map(_.mkString(" ")).toSeq))

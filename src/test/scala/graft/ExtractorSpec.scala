@@ -56,6 +56,20 @@ class ExtractorSpec extends AnyFunSuite {
     assert(res.properties("keywords").toSet == Set("ingestors", "key", "words", "news"))
   }
 
+  test("html: text-density main content strips nav/sidebar/footer chrome") {
+    val article = "the committee approved the updated budget for the coming " +
+      "fiscal year after a long debate over infrastructure spending"
+    val html = graft.corpus.CorpusGen.renderBoilerplateHtml("T", article)
+    val root = HtmlDom.parse(new String(html, "UTF-8"))
+    assert(HtmlDom.mainContent(root) == article)
+    // chrome-free pages: main content equals the body text
+    val plain = HtmlDom.parse("<html><body><p>only prose here today</p></body></html>")
+    assert(HtmlDom.mainContent(plain) == "only prose here today")
+    // extractor records the property only when chrome was stripped
+    val r = HtmlExtractor.extract(RawDoc("d", "x.html", "text/html", html))
+    assert(r.properties.getOrElse("mainText", Nil).headOption.contains(article))
+  }
+
   test("html: og: meta wins over title tag; entities decoded") {
     val h = """<html><head><meta property="og:title" content="OG  Title"/>
               |<title>Tag Title</title></head>
