@@ -280,6 +280,45 @@ object PdfExtractor extends Extractor {
       case PStream(d, _) if d.m.get("Type").contains(PName("XRef")) => trailers += d
       case _ => ()
     }
+
+    // PDF 1.5 object streams: most objects of a modern PDF live inside
+    // /Type/ObjStm FlateDecode streams — expand them (header = N pairs of
+    // "objnum offset", bodies at /First + offset) and merge. A provisional
+    // doc is needed because decodeStream resolves indirect /Length refs.
+    val provisional = PdfDoc(objects.toMap, trailers.result())
+    objects.toMap.values.foreach {
+      case st @ PStream(d, _) if d.m.get("Type").contains(PName("ObjStm")) =>
+        try {
+          val n = provisional.resolve(d.m.getOrElse("N", PNull)) match {
+            case PNum(v) => v.toInt
+            case _ => 0
+          }
+          val first = provisional.resolve(d.m.getOrElse("First", PNull)) match {
+            case PNum(v) => v.toInt
+            case _ => 0
+          }
+          if (n > 0 && n < 100000) {
+            val data = new String(decodeStream(provisional, st),
+              StandardCharsets.ISO_8859_1)
+            val hdr = new Lexer(data)
+            val pairs = (0 until n).map { _ =>
+              val a = parseVal(hdr); val b = parseVal(hdr)
+              (a, b) match {
+                case (PNum(num), PNum(off)) => (num.toInt, off.toInt)
+                case _ => (-1, -1)
+              }
+            }
+            for ((num, off) <- pairs if num >= 0 && first + off < data.length
+                 if !objects.contains(num)) {
+              val lx = new Lexer(data)
+              lx.i = first + off
+              try objects(num) = parseVal(lx)
+              catch { case _: Exception => () }
+            }
+          }
+        } catch { case _: Exception => () }
+      case _ => ()
+    }
     PdfDoc(objects.toMap, trailers.result())
   }
 

@@ -58,6 +58,42 @@ class PdfSpec extends AnyFunSuite {
     assert(b.map(_.score) == Right(12))
   }
 
+  test("PDF 1.5 object streams: objects inside /ObjStm are found") {
+    // catalog + pages + page dicts all packed into one compressed ObjStm;
+    // only the content stream and the ObjStm itself are top-level objects
+    val inner = "<< /Type /Catalog /Pages 2 0 R >> " +
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >> " +
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val header = "1 0 2 35 3 73 "
+    val payload = (header + inner).getBytes("ISO-8859-1")
+    // offsets: obj1 at 0, obj2 at 35, obj3 at 73 relative to First
+    val off1 = 0
+    val off2 = inner.indexOf("<< /Type /Pages")
+    val off3 = inner.indexOf("<< /Type /Page /Parent")
+    val hdr = s"1 0 2 $off2 3 $off3 "
+    val body = (hdr + inner).getBytes("ISO-8859-1")
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(body); deflater.finish()
+    val buf = new Array[Byte](body.length * 2 + 64)
+    val clen = deflater.deflate(buf)
+    deflater.end()
+    val compressed = java.util.Arrays.copyOf(buf, clen)
+    val content = "BT (Hello from an object stream) Tj ET"
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w(s"5 0 obj << /Type /ObjStm /N 3 /First ${hdr.length} /Filter /FlateDecode /Length $clen >> stream\n")
+    out.write(compressed)
+    w("\nendstream endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    w("%%EOF")
+    val r = PdfExtractor.extract(RawDoc("d", "objstm.pdf", "application/pdf",
+      out.toByteArray))
+    assert(r.status == graft.core.ExtractionResult.Success, r.error)
+    assert(r.spans.exists(_.text.contains("Hello from an object stream")),
+      r.spans.map(_.text))
+  }
+
   test("flate-compressed content stream decodes") {
     // compress the content stream of a 1-page pdf by hand
     val content = "BT /F1 12 Tf 72 720 Td (compressed stream text) Tj ET"
