@@ -61,6 +61,65 @@ object StreamingIngest {
     out.cleanup()
   }
 
+  /** One email's threading facts as they stream out of extraction. */
+  final case class MailEvent(doc_id: String, message_id: String,
+                             in_reply_to: String)
+  /** Per-message-id thread state: the declaring doc (once seen) and the
+    * reply docs still waiting for it. */
+  final case class ThreadState(parentDoc: String, waiting: List[String])
+  /** A resolved reply edge. */
+  final case class ThreadEdge(doc_id: String, in_reply_to_doc: String)
+
+  /** Streaming message-id threading with custom state — the reference keeps
+    * Redis forward/backward sets (`support/email.py:140-167`); the
+    * Structured-Streaming re-expression is flatMapGroupsWithState keyed by
+    * message-id. Each email contributes two keyed facts: it DECLARES its
+    * own message-id and ASKS for its in-reply-to id. State per key holds
+    * the declaring doc plus replies that arrived before it, so
+    * out-of-order arrivals across micro-batches still produce every edge
+    * exactly once. */
+  def threadEdges(spark: SparkSession, emails: org.apache.spark.sql.Dataset[MailEvent])
+      : org.apache.spark.sql.Dataset[ThreadEdge] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // (key, declaredDoc | null, askingDoc | null)
+    val facts = emails.flatMap { e =>
+      val declare =
+        if (e.message_id != null && e.message_id.nonEmpty)
+          Some((e.message_id, e.doc_id, null: String)) else None
+      val ask =
+        if (e.in_reply_to != null && e.in_reply_to.nonEmpty)
+          Some((e.in_reply_to, null: String, e.doc_id)) else None
+      declare.iterator ++ ask.iterator
+    }
+    facts.groupByKey(_._1)
+      .flatMapGroupsWithState[ThreadState, ThreadEdge](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[ThreadState]) =>
+          var st = state.getOption.getOrElse(ThreadState("", Nil))
+          val out = Vector.newBuilder[ThreadEdge]
+          for ((_, declared, asking) <- rows) {
+            if (declared != null && st.parentDoc.isEmpty)
+              st = st.copy(parentDoc = declared)
+            if (asking != null) {
+              if (st.parentDoc.nonEmpty && st.parentDoc != asking)
+                out += ThreadEdge(asking, st.parentDoc)
+              else if (st.parentDoc.isEmpty)
+                st = st.copy(waiting = asking :: st.waiting)
+            }
+          }
+          // parent may have arrived in this batch after some asks, or for
+          // asks parked in previous batches
+          if (st.parentDoc.nonEmpty && st.waiting.nonEmpty) {
+            st.waiting.reverse.filter(_ != st.parentDoc)
+              .foreach(w => out += ThreadEdge(w, st.parentDoc))
+            st = st.copy(waiting = Nil)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Watermarked per-ingestion-window metrics — the streaming analogue of
     * the reference's Prometheus counters (`manager.py:29-65`): counts and
     * bytes per event type in sliding windows, late data bounded by the

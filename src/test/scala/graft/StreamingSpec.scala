@@ -73,6 +73,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/meta").count() == 2 * n1)
   }
 
+  test("stateful threading: out-of-order parents resolve across micro-batches") {
+    import spark.implicits._
+    // Spark 4 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[StreamingIngest.MailEvent]
+    val edges = StreamingIngest.threadEdges(spark, source.toDS())
+    val q = edges.writeStream.outputMode("append")
+      .format("memory").queryName("thread_edges").start()
+    // batch 1: a reply arrives BEFORE its parent + one ordinary pair
+    source.addData(
+      StreamingIngest.MailEvent("docB", "m2", "m1"), // parent m1 not yet seen
+      StreamingIngest.MailEvent("docC", "m3", "m2")) // parent m2 declared here
+    q.processAllAvailable()
+    val after1 = spark.sql("SELECT * FROM thread_edges").as[StreamingIngest.ThreadEdge]
+      .collect().toSet
+    assert(after1 == Set(StreamingIngest.ThreadEdge("docC", "docB")))
+    // batch 2: the missing parent shows up → parked reply resolves
+    source.addData(StreamingIngest.MailEvent("docA", "m1", ""))
+    q.processAllAvailable()
+    val after2 = spark.sql("SELECT * FROM thread_edges").as[StreamingIngest.ThreadEdge]
+      .collect().toSet
+    assert(after2 == Set(
+      StreamingIngest.ThreadEdge("docC", "docB"),
+      StreamingIngest.ThreadEdge("docB", "docA")))
+    q.stop()
+  }
+
   test("watermarked windowed metrics over the events stream schema") {
     import spark.implicits._
     val eventsPath = "/root/testdata/sf0.001/events.parquet"
