@@ -25,6 +25,10 @@ object ImageExtractor extends Extractor {
     if (gen.nonEmpty) props += ("generator" -> gen)
     exif.dateTimeOriginal.foreach(d =>
       props += ("authoredAt" -> Seq(Exif.exifDateToIso(d))))
+    MediaMeta.imageDims(doc.bytes).foreach { case (w, h) =>
+      props += ("width" -> Seq(w.toString))
+      props += ("height" -> Seq(h.toString))
+    }
     ExtractionResult.success(schema,
       Vector(Span(SpanKinds.Image, "", ref, 0)), props.result())
   }

@@ -81,6 +81,59 @@ object MediaMeta {
     else Info()
   }
 
+  // ---- image dimensions ------------------------------------------------
+
+  /** (width, height) from PNG IHDR, JPEG SOF, GIF screen descriptor or
+    * WebP VP8/VP8L/VP8X headers — the typed metadata a multimodal column
+    * carries without decoding pixels. */
+  def imageDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 26) return None
+    // PNG: 8-byte signature, IHDR at 16
+    if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      return Some(((u32(b, 16) & 0x7fffffff).toInt, (u32(b, 20) & 0x7fffffff).toInt))
+    // GIF: logical screen descriptor at 6 (little-endian)
+    if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      return Some(((b(6) & 0xff) | ((b(7) & 0xff) << 8),
+        (b(8) & 0xff) | ((b(9) & 0xff) << 8)))
+    // JPEG: scan markers for SOF0-15 (except DHT/DAC/RST)
+    if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      var p = 2
+      while (p + 9 < b.length) {
+        if ((b(p) & 0xff) != 0xff) return None
+        val marker = b(p + 1) & 0xff
+        val len = u16(b, p + 2)
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          return Some((u16(b, p + 7), u16(b, p + 5)))
+        if (len < 2) return None
+        p += 2 + len
+      }
+      return None
+    }
+    // WebP: RIFF....WEBP + VP8 variants (little-endian fields)
+    if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
+      val tag = new String(b, 12, 4, "ISO-8859-1")
+      tag match {
+        case "VP8 " if b.length >= 30 =>
+          // key frame: 3-byte frame tag, 3-byte start code, 14-bit dims
+          return Some((((b(26) & 0xff) | ((b(27) & 0x3f) << 8)),
+            ((b(28) & 0xff) | ((b(29) & 0x3f) << 8))))
+        case "VP8L" if b.length >= 25 =>
+          val bits = (b(21) & 0xffL) | ((b(22) & 0xffL) << 8) |
+            ((b(23) & 0xffL) << 16) | ((b(24) & 0xffL) << 24)
+          return Some((((bits & 0x3fff) + 1).toInt,
+            (((bits >> 14) & 0x3fff) + 1).toInt))
+        case "VP8X" if b.length >= 30 =>
+          val w = ((b(24) & 0xff) | ((b(25) & 0xff) << 8) | ((b(26) & 0xff) << 16)) + 1
+          val h = ((b(27) & 0xff) | ((b(28) & 0xff) << 8) | ((b(29) & 0xff) << 16)) + 1
+          return Some((w, h))
+        case _ => return None
+      }
+    }
+    None
+  }
+
   // ---- MP4 / QuickTime ---------------------------------------------------
 
   private val containers = Set("moov", "trak", "mdia", "minf", "stbl",

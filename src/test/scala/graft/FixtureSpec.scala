@@ -206,6 +206,18 @@ class FixtureSpec extends AnyFunSuite {
     assert(at.contains("2018-06-20T12:09:28") && at.contains("2018-06-20T12:09:42"), at)
   }
 
+  test("image fixtures: dimensions decoded from png/gif/jpg/webp headers") {
+    val cases = Seq("regression_jpg.jpg", "regression_gif.gif",
+      "regression_webp.webp")
+    for (n <- cases if Files.exists(dir.resolve(n))) {
+      val r = ImageExtractor.extract(RawDoc("d", n, "", bytes(n)))
+      assert(r.status == ExtractionResult.Success, s"$n: ${r.error}")
+      val w = r.properties.getOrElse("width", Nil).headOption.flatMap(_.toIntOption)
+      val h = r.properties.getOrElse("height", Nil).headOption.flatMap(_.toIntOption)
+      assert(w.exists(_ > 0) && h.exists(_ > 0), s"$n dims: $w x $h")
+    }
+  }
+
   test("tiff fixtures: success with image span + contentHash (test_tiff.py shape)") {
     for (n <- Seq("multipage_tiff_example.tif", "hello_world_tiff.tif")
          if Files.exists(dir.resolve(n))) {
