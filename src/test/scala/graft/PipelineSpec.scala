@@ -131,6 +131,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(2000))
   }
 
+  test("directory source: binaryFile scan over the reference's testdir fixture") {
+    assume(new java.io.File("/root/reference/tests/fixtures/testdir").isDirectory)
+    val pending = graft.sources.Sources.fromDirectory(spark,
+      "/root/reference/tests/fixtures/testdir")
+    val out = Pipeline.run(spark, pending)
+    val meta = out.meta.collect()
+    assert(meta.length >= 1)
+    val txt = meta.find(_.file_name == "test.txt")
+    assert(txt.isDefined, meta.map(_.file_name).toSeq)
+    assert(txt.get.processing_status == ExtractionResult.Success)
+    assert(txt.get.ingestor == "PlainTextIngestor")
+    // plan check: the source is a real scan, not a collected list
+    val plan = pending.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan") || plan.contains("FileScan"), plan.take(600))
+    out.cleanup()
+  }
+
   test("durable snapshots: killed-then-resumed run equals the uninterrupted run") {
     import spark.implicits._
     val zip = CorpusGen.renderZip(Seq(("in.txt", "zipped body".getBytes)))
