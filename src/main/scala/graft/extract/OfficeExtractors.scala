@@ -140,6 +140,26 @@ object XlsxExtractor extends Extractor {
     if (sheetFiles.isEmpty)
       throw new ProcessingError("Invalid XLSX: no worksheets")
 
+    // style index → is-date (openpyxl's date handling, `tabular/xlsx.py`):
+    // cellXfs numFmtId resolved against builtin date ids + custom numFmts
+    val dateStyles: Set[Int] = parseXmlEntry(entries, "xl/styles.xml") match {
+      case None => Set.empty
+      case Some(st) =>
+        val customDate = findAll(st, "numFmt").flatMap { f =>
+          for {
+            id <- f.attrs.get("numFmtId").flatMap(_.toIntOption)
+            code <- f.attrs.get("formatCode")
+            if XlsExtractor.isDateFormatString(code)
+          } yield id
+        }.toSet
+        val xfs = findAll(st, "cellXfs").flatMap(x => findAll(x, "xf")).toVector
+        xfs.zipWithIndex.collect {
+          case (xf, i) if xf.attrs.get("numFmtId").flatMap(_.toIntOption)
+            .exists(id => XlsExtractor.builtinDateFmts.contains(id) ||
+              customDate.contains(id)) => i
+        }.toSet
+    }
+
     val spans = Vector.newBuilder[Span]
     var rowIdx = 0
     var totalRows = 0
@@ -151,6 +171,10 @@ object XlsxExtractor extends Extractor {
             v.toIntOption.flatMap(shared.lift).getOrElse(v)
           else if (c.attrs.get("t").contains("inlineStr"))
             allElements(c).filter(_.tag == "t").map(textContent).mkString
+          else if (c.attrs.get("s").flatMap(_.toIntOption).exists(dateStyles)
+                   && v.nonEmpty)
+            v.toDoubleOption.flatMap(XlsExtractor.xldateIso(_, date1904 = false))
+              .getOrElse(v)
           else v
         }.toVector
         if (values.map(_.length).sum != 0) {

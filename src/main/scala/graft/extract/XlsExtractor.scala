@@ -157,7 +157,7 @@ object XlsExtractor extends Extractor {
   // ---- date formats --------------------------------------------------------
 
   /** Builtin date/time number-format ids ([MS-XLS] 2.4.126). */
-  private val builtinDateFmts: Set[Int] =
+  private[extract] val builtinDateFmts: Set[Int] =
     ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
 
   /** Custom format string date-ness: any y/m/d/h/s token outside quoted or

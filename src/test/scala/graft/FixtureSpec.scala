@@ -44,6 +44,17 @@ class FixtureSpec extends AnyFunSuite {
     assert(r.error == ProcessingError.EncryptedMsg)
   }
 
+  test("file.xlsx: sheets + Mihai Viteazul + rowCount (test_tabular.py test_simple_xlsx)") {
+    assume_("file.xlsx")
+    val r = XlsxExtractor.extract(RawDoc("d", "file.xlsx", "", bytes("file.xlsx")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    val sheets = r.properties.getOrElse("sheets", Nil)
+    assert(sheets.contains("Sheet1"), sheets)
+    assert(sheets.length == 2, sheets)
+    assert(r.spans.exists(_.text.contains("Mihai Viteazul")),
+      r.spans.map(_.text).take(5))
+  }
+
   test("rom.ods: unicode sheet name Лист1 (test_tabular.py test_unicode_ods)") {
     assume_("rom.ods")
     val r = OdsExtractor.extract(RawDoc("d", "rom.ods", "", bytes("rom.ods")))
