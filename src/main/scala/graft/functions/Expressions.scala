@@ -71,6 +71,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Session-extension registration — the deployment-grade hook of the
+  * build contract ("registered via SparkSessionExtensions"): launch with
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) and every session, including
+  * spark-submit jobs and thrift-server sessions, gets the native
+  * functions without any driver-side register() call. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+  }
+}
+
 object GraftFunctions {
 
   /** Registration (idempotent): `SELECT cosine_sim(v1, v2) FROM ...`. */
