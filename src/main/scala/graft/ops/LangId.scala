@@ -24,7 +24,7 @@ object LangId extends Serializable {
   val ordered: Vector[String] = Vector(
     "en", "de", "fr", "es", "it", "pt", "nl", "sv", "da", "fi", "pl", "cs",
     "ro", "hu", "tr", "ru", "uk", "bg", "el", "ar", "he", "zh", "ja", "ko",
-    "th", "hi")
+    "th", "hi", "vi", "id", "fa")
 
   private val latinTrain: Map[String, String] = Map(
     "en" -> ("the quick brown fox jumps over the lazy dog. this is a sample of english text " +
@@ -77,7 +77,13 @@ object LangId extends Serializable {
       "szavakat és mintákat a mindennapi dolgokról szóló hétköznapi mondatokban."),
     "tr" -> ("hızlı kahverengi tilki tembel köpeğin üzerinden atlar. bu, dil tanımlama amacıyla " +
       "yazılmış türkçe metin örneğidir. sistemin sıradan cümlelerdeki yaygın kelimeleri ve " +
-      "kalıpları tanıyıp tanımadığını kontrol ediyoruz."))
+      "kalıpları tanıyıp tanımadığını kontrol ediyoruz."),
+    "vi" -> ("con cáo nâu nhanh nhẹn nhảy qua con chó lười biếng. đây là một ví dụ về văn bản " +
+      "tiếng việt được viết để nhận dạng ngôn ngữ. chúng tôi kiểm tra xem hệ thống có thể nhận " +
+      "ra các từ và mẫu phổ biến trong các câu thông thường hay không."),
+    "id" -> ("rubah coklat yang cepat melompati anjing yang malas. ini adalah contoh teks bahasa " +
+      "indonesia yang ditulis untuk identifikasi bahasa. kami memeriksa apakah sistem dapat " +
+      "mengenali kata-kata umum dan pola dalam kalimat sehari-hari tentang hal-hal biasa."))
 
   private val cyrillicTrain: Map[String, String] = Map(
     "ru" -> ("быстрая коричневая лиса прыгает через ленивую собаку. это пример русского текста, " +
@@ -125,7 +131,10 @@ object LangId extends Serializable {
     "ja" -> "多くの人は長い冬の夜に歴史や科学についての本を読むのを楽しんでいます。",
     "ko" -> "많은 사람들이 긴 겨울 저녁에 역사와 과학에 관한 책을 읽는 것을 즐깁니다.",
     "th" -> "หลายคนชอบอ่านหนังสือเกี่ยวกับประวัติศาสตร์และวิทยาศาสตร์ในค่ำคืนฤดูหนาวที่ยาวนาน",
-    "hi" -> "बहुत से लोग लंबी सर्दियों की शामों में इतिहास और विज्ञान के बारे में किताबें पढ़ना पसंद करते हैं।")
+    "hi" -> "बहुत से लोग लंबी सर्दियों की शामों में इतिहास और विज्ञान के बारे में किताबें पढ़ना पसंद करते हैं।",
+    "vi" -> "nhiều người thích đọc sách về lịch sử và khoa học trong những buổi tối mùa đông dài.",
+    "id" -> "banyak orang senang membaca buku tentang sejarah dan ilmu pengetahuan pada malam musim dingin yang panjang.",
+    "fa" -> "بسیاری از مردم در شب‌های طولانی زمستان از خواندن کتاب‌های تاریخی و علمی لذت می‌برند.")
 
   private val TopN = 300
 
@@ -219,7 +228,14 @@ object LangId extends Serializable {
     val half = letters / 2
     if (hangul > half) "ko"
     else if (han + kana > half) { if (kana >= 2) "ja" else "zh" }
-    else if (arabic > half) "ar"
+    else if (arabic > half) {
+      // Persian extends the Arabic script with پ چ ژ گ and spells with
+      // FARSI YEH (U+06CC) / KEHEH (U+06A9) where Arabic uses ي / ك —
+      // their presence separates fa from ar without a trigram pass
+      if (t.exists(c => c == 'پ' || c == 'چ' || c == 'ژ' || c == 'گ' ||
+        c == 'ی' || c == 'ک')) "fa"
+      else "ar"
+    }
     else if (hebrew > half) "he"
     else if (greek > half) "el"
     else if (thai > half) "th"
