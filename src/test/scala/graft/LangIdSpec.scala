@@ -32,6 +32,16 @@ class LangIdSpec extends AnyFunSuite {
     assert(LangId.detect("12345 67890 !!!") == "und")
   }
 
+  test("detect is total on arbitrary unicode") {
+    val rng = new graft.corpus.CorpusGen.Rng(23)
+    for (_ <- 0 until 300) {
+      val n = rng.nextInt(200)
+      val s = new String(Array.fill(n)(rng.nextInt(0x2fff).toChar))
+      val out = LangId.detect(s)
+      assert(out == "und" || LangId.ordered.contains(out), out)
+    }
+  }
+
   test("legacy short-sentence checks still pass") {
     assert(TextOps.detectLanguage("der hund ist nicht in das haus und der garten") == "de")
     assert(TextOps.detectLanguage("le chat est dans la maison et le jardin") == "fr")

@@ -131,6 +131,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(2000))
   }
 
+  test("size-aware partitioning: byte-derived counts bound per-task payload") {
+    val cfg = Pipeline.Config()
+    // 10 GiB across few rows: the bytes term must dominate parallelism
+    val byBytes = Pipeline.partitionCountFor(spark, cnt = 200,
+      totalBytes = 10L * 1024 * 1024 * 1024, cfg)
+    assert(byBytes >= (10L * 1024 * 1024 * 1024 / cfg.targetPartitionBytes).toInt,
+      byBytes)
+    // tiny queue: never more partitions than rows
+    assert(Pipeline.partitionCountFor(spark, cnt = 3, totalBytes = 100, cfg) == 3)
+    // normal queue: 3 waves per core smooths the long tail
+    val waves = Pipeline.partitionCountFor(spark, cnt = 1000000, totalBytes = 1000, cfg)
+    assert(waves >= spark.sparkContext.defaultParallelism * 3)
+  }
+
   test("directory source: binaryFile scan over the reference's testdir fixture") {
     assume(new java.io.File("/root/reference/tests/fixtures/testdir").isDirectory)
     val pending = graft.sources.Sources.fromDirectory(spark,
