@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// POSIX locale would give the forked JVMs sun.jnu.encoding=ASCII, making
+// non-ASCII fixture paths unrepresentable; the -D flags alone don't fix
+// the path codec on JDK 17
+Test / envVars ++= Map("LC_ALL" -> "C.utf8", "LANG" -> "C.utf8")
+run / envVars ++= Map("LC_ALL" -> "C.utf8", "LANG" -> "C.utf8")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,6 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // the container locale is POSIX → sun.jnu.encoding=ASCII, which makes
+  // non-ASCII fixture paths (EDRM « filename) unrepresentable in NIO
+  "-Dfile.encoding=UTF-8",
+  "-Dsun.jnu.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // cap the G1 young generation: at local[32] the allocation rate of the
   // extraction stage otherwise grows young to tens of GB and multi-second

@@ -195,7 +195,7 @@ object SevenZip {
                            cap: Long): Array[Byte] = {
     val folder = si.folders(i)
     if (folder.coders.exists(_.id == IdAes))
-      throw new ProcessingError(ProcessingError.EncryptedMsg)
+      throw new ProcessingError("Password protected 7z archive") // packages/__init__.py:36
     if (folder.coders.length != 1)
       throw new ProcessingError("7z: multi-coder folders unsupported")
     val coder = folder.coders.head

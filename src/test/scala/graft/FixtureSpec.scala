@@ -129,6 +129,35 @@ class FixtureSpec extends AnyFunSuite {
     assert(body.contains("Ingestors extract useful information"), body.take(300))
   }
 
+  test("EDRM htm: title with « entity + body golden (test_html.py:26-37)") {
+    // the « in the filename defeats Paths.get under a non-UTF-8
+    // sun.jnu.encoding — resolve via a directory listing instead
+    val f = new java.io.File(dir.toFile.getPath).listFiles()
+      .find(_.getName.endsWith(".htm"))
+    assume(f.isDefined, "EDRM fixture missing")
+    val data = Files.readAllBytes(f.get.toPath)
+    val r = HtmlExtractor.extract(RawDoc("d", f.get.getName, "text/html", data))
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(r.properties.getOrElse("title", Nil).headOption
+      .contains("EDRM Micro Datasets « EDRM"), r.properties.get("title"))
+    assert(r.properties.getOrElse("keywords", Nil).isEmpty,
+      r.properties.get("keywords"))
+    val body = r.spans.map(_.text).mkString(" ")
+    assert(body.contains("Creating Practical Resources to Improve E-Discovery"),
+      body.take(300))
+  }
+
+  test("udhr_ger.pdf: German body text with combining-diacritic normalization") {
+    assume_("udhr_ger.pdf")
+    val r = PdfExtractor.extract(RawDoc("d", "udhr_ger.pdf", "application/pdf",
+      bytes("udhr_ger.pdf")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    val body = java.text.Normalizer.normalize(
+      r.spans.map(_.text).mkString(" "), java.text.Normalizer.Form.NFC)
+    assert(body.contains("Allgemeine Erklärung der Menschenrechte"), body.take(200))
+    assert(r.spans.count(_.kind == SpanKinds.Page) == 6)
+  }
+
   // ---- packages (tests/test_packages.py) ----------------------------------
 
   test("test-documents.zip: members become children (test_packages.py:15-21)") {
@@ -167,7 +196,8 @@ class FixtureSpec extends AnyFunSuite {
     val r = SevenZipExtractor.extract(RawDoc("d", "7z_password.7z",
       "application/x-7z-compressed", bytes("7z_password.7z")))
     assert(r.status == ExtractionResult.Failure)
-    assert(r.error == ProcessingError.EncryptedMsg, r.error)
+    // exact reference message (packages/__init__.py:36)
+    assert(r.error == "Password protected 7z archive", r.error)
   }
 
   test("bad7zip.7z: symlink-escape fixture fails or stays contained (test_packages.py:78-90)") {
