@@ -267,6 +267,18 @@ object SparkEntry {
           col("sender"), col("body"))
         .orderBy("doc_id")
     }),
+    // .msg attachments become children re-ingested at depth 1
+    "x_msg_attach" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "msg_attach"))
+      val children = out.meta.toDF().filter(col("depth") === 1)
+        .select(col("parent_id").cast("long").as("doc_id"),
+          col("doc_id").as("child_id"), col("file_name"))
+      val body = out.spans.toDF().filter(col("kind") === "text")
+        .select(col("doc_id").as("child_id"), col("text").as("att_body"))
+      children.join(body, "child_id")
+        .select(col("doc_id"), col("file_name"), col("att_body"))
+        .orderBy("doc_id")
+    }),
     "x_emlx" -> ((s, dir) => {
       val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "emlx"))
       val meta = out.meta.toDF().select(col("doc_id"),
@@ -698,6 +710,9 @@ object SparkEntry {
         |       'Doc ' || doc_id AS subject,
         |       'alice@graft.test' AS sender,
         |       text AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_msg_attach" ->
+      """SELECT doc_id, 'att' || doc_id || '.txt' AS file_name, text AS att_body
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x_emlx" ->
       "SELECT doc_id, 'Doc ' || doc_id AS subject, text AS body FROM documents ORDER BY doc_id",

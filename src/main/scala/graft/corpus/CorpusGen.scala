@@ -268,15 +268,22 @@ object CorpusGen {
     prefix ++ eml ++ plist
   }
 
-  /** Outlook .msg via the CFBF writer (subject/body/sender/recipient). */
-  def renderMsg(subject: String, body: String): Array[Byte] = {
+  /** Outlook .msg via the CFBF writer (subject/body/sender/recipient,
+    * optional attachment). */
+  def renderMsg(subject: String, body: String,
+                attachment: Option[(String, Array[Byte])] = None): Array[Byte] = {
     def u16(s: String) = s.getBytes("UTF-16LE")
-    graft.extract.Cfbf.write(Seq(
+    val base = Seq(
       "__substg1.0_0037001F" -> u16(subject),
       "__substg1.0_1000001F" -> u16(body),
       "__substg1.0_0C1F001F" -> u16("alice@graft.test"),
       "__recip_version1.0_#00000000/__substg1.0_39FE001F" ->
-        u16("bob@graft.test")))
+        u16("bob@graft.test"))
+    val attach = attachment.toSeq.flatMap { case (name, bytes) =>
+      Seq("__attach_version1.0_#00000000/__substg1.0_37010102" -> bytes,
+        "__attach_version1.0_#00000000/__substg1.0_3707001F" -> u16(name))
+    }
+    graft.extract.Cfbf.write(base ++ attach)
   }
 
   /** Minimal OLM archive: one OPF message XML inside the zip. */

@@ -106,6 +106,9 @@ object QueryLib extends Serializable {
           Seq(("COL_A", 24), ("COL_B", 24), ("COL_C", 24)), rows))
       case "msg" =>
         (s"doc$id.msg", CorpusGen.renderMsg(s"Doc $id", text))
+      case "msg_attach" =>
+        (s"doc$id.msg", CorpusGen.renderMsg(s"Doc $id", s"body $id",
+          Some((s"att$id.txt", text.getBytes("UTF-8")))))
       case "emlx" =>
         val (_, eml) = render("eml", id, text)
         (s"doc$id.emlx", CorpusGen.renderEmlx(eml))

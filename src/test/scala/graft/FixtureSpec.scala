@@ -26,6 +26,37 @@ class FixtureSpec extends AnyFunSuite {
 
   // ---- tabular (tests/test_tabular.py, test_csv.py) ----------------------
 
+  test("BIFF SST spanning CONTINUE records decodes (incl. mid-string grbit restart)") {
+    def u16b(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def i32b(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def rec(id: Int, body: Array[Byte]) = u16b(id) ++ u16b(body.length) ++ body
+    val bof = (dt: Int) => rec(0x0809, u16b(0x0600) ++ u16b(dt) ++
+      u16b(0) ++ u16b(0) ++ i32b(0) ++ i32b(0))
+    val eof = rec(0x000a, Array.empty[Byte])
+    // SST: one compressed string "firstHALF|secondHALF" split mid-string:
+    // the SST record carries "firstHALF" chars; the CONTINUE restarts with
+    // its own grbit byte (1 = 16-bit) for "|secondHALF" in UTF-16
+    val part1 = "firstHALF"
+    val part2 = "|secondHALF"
+    val full = part1 + part2
+    val sstBody = i32b(1) ++ i32b(1) ++
+      u16b(full.length) ++ Array[Byte](0) ++ part1.getBytes("ISO-8859-1")
+    val contBody = Array[Byte](1) ++ part2.getBytes("UTF-16LE")
+    val cell = rec(0x00fd, u16b(0) ++ u16b(0) ++ u16b(0) ++ i32b(0))
+    val nameB = "S".getBytes("UTF-16LE")
+    def globals(pos: Int) = bof(0x0005) ++
+      rec(0x0085, i32b(pos) ++ u16b(0) ++ Array[Byte](1, 1) ++ nameB) ++
+      rec(0x00fc, sstBody) ++ rec(0x003c, contBody) ++ eof
+    val glen = globals(0).length
+    val stream = globals(glen) ++ bof(0x0010) ++ cell ++ eof
+    val bytes = Cfbf.write(Seq("Workbook" -> stream))
+    val r = XlsExtractor.extract(RawDoc("d", "cont.xls",
+      "application/vnd.ms-excel", bytes))
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(r.spans.map(_.text) == Vector(full), r.spans.map(_.text))
+  }
+
   test("rom.xls: unicode sheet name Лист1, success (test_tabular.py test_unicode_xls)") {
     assume_("rom.xls")
     val r = XlsExtractor.extract(RawDoc("d", "rom.xls",
