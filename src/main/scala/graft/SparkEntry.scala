@@ -441,6 +441,18 @@ object SparkEntry {
     }),
 
     // ---- multimodal ---------------------------------------------------
+    // EXIF roundtrip: JPEG APP1 IFD + SOF dims → ImageIngestor metadata
+    "x_image" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "jpg_exif"))
+      out.meta.toDF()
+        .select(col("doc_id").cast("long").as("doc_id"),
+          element_at(element_at(col("properties"), "generator"), 1).as("make"),
+          element_at(element_at(col("properties"), "generator"), 2).as("model"),
+          QueryLib.prop("authoredAt").as("authored_at"),
+          QueryLib.prop("width").cast("long").as("width"),
+          QueryLib.prop("height").cast("long").as("height"))
+        .orderBy("doc_id")
+    }),
     "m_media_meta" -> ((s, dir) => {
       import s.implicits._
       val media = QueryLib.documents(s, dir)
@@ -869,6 +881,15 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
         |  FROM scored)
         |SELECT qid, rank, cid FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "x_image" ->
+      """SELECT doc_id,
+        |       'Cam' || (doc_id % 3) AS make,
+        |       'Mod' || (doc_id % 5) AS model,
+        |       '2021-06-15T10:11:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+        |         AS authored_at,
+        |       100 + doc_id % 50 AS width,
+        |       200 + doc_id % 30 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "m_media_real" ->
       """SELECT doc_id,
         |       'AudioIngestor' AS ingestor,

@@ -301,6 +301,27 @@ object CorpusGen {
       ("Accounts/main/Inbox/message_0001.xml", xml.getBytes("UTF-8"))))
   }
 
+  /** Minimal JPEG wrapping an EXIF APP1 (Make/Model/DateTime TIFF IFD) and
+    * an SOF0 with real dimensions — no pixel data needed for metadata. */
+  def renderJpegExif(make: String, model: String, dateTime: String,
+                     width: Int, height: Int): Array[Byte] = {
+    val tiff = graft.extract.Exif.writeTiff(make, model, dateTime)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(bs: Int*): Unit = bs.foreach(b => out.write(b & 0xff))
+    w(0xff, 0xd8) // SOI
+    val app1len = 2 + 6 + tiff.length
+    w(0xff, 0xe1, (app1len >> 8) & 0xff, app1len & 0xff)
+    out.write("Exif".getBytes("US-ASCII")); w(0, 0)
+    out.write(tiff)
+    // SOF0, 1 component, 8-bit: len 11
+    w(0xff, 0xc0, 0, 11, 8,
+      (height >> 8) & 0xff, height & 0xff,
+      (width >> 8) & 0xff, width & 0xff,
+      1, 0x11, 0x11, 0)
+    w(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Minimal RIFF/WAVE: fmt (16-bit mono PCM at sampleRate) + zeroed data
     * chunk — duration = dataSize·1000 / byteRate. */
   def renderWav(sampleRate: Int, dataSize: Int): Array[Byte] = {

@@ -91,6 +91,11 @@ object QueryLib extends Serializable {
       case "xml" =>
         (s"doc$id.xml", CorpusGen.renderXml("doc",
           text.split(" ").grouped(12).map(_.mkString(" ")).toSeq))
+      case "jpg_exif" =>
+        (s"doc$id.jpg", CorpusGen.renderJpegExif(
+          s"Cam${id % 3}", s"Mod${id % 5}",
+          f"2021:06:15 10:11:${id % 60}%02d",
+          100 + (id % 50).toInt, 200 + (id % 30).toInt))
       case "svg" =>
         (s"doc$id.svg", CorpusGen.renderSvg(text))
       case "odt" =>
