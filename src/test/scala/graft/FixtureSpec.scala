@@ -460,6 +460,22 @@ class FixtureSpec extends AnyFunSuite {
 
   // ---- classification over real bytes -------------------------------------
 
+  test("every fixture file dispatches totally (classify + extract, no throw)") {
+    val files = dir.toFile.listFiles().filter(_.isFile)
+    assume(files.nonEmpty)
+    var succeeded = 0
+    for (f <- files) {
+      val data = Files.readAllBytes(f.toPath)
+      val out = Dispatch.ingest(f.getName, "", data)
+      assert(out.result.status == ExtractionResult.Success ||
+        out.result.status == ExtractionResult.Failure,
+        s"${f.getName}: ${out.result.status}")
+      if (out.result.status == ExtractionResult.Success) succeeded += 1
+    }
+    // the majority of the reference's own fixtures must extract successfully
+    assert(succeeded >= files.length * 2 / 3, s"$succeeded/${files.length}")
+  }
+
   test("dispatch routes real fixtures to the reference ingestor classes") {
     val expect = Seq(
       "doc.html" -> "HTMLIngestor",
