@@ -487,6 +487,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // TIFF EXIF roundtrip through TIFFIngestor (IFD walker on the container)
+    "x_tiff" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "tiff_exif"))
+      out.meta.toDF()
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("ingestor"),
+          element_at(element_at(col("properties"), "generator"), 1).as("make"),
+          element_at(element_at(col("properties"), "generator"), 2).as("model"),
+          QueryLib.prop("authoredAt").as("authored_at"))
+        .orderBy("doc_id")
+    }),
+
     // ---- analysis stage ------------------------------------------------
     "a_patterns" -> ((s, dir) => {
       val spans = QueryLib.documents(s, dir)
@@ -881,6 +893,14 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
         |  FROM scored)
         |SELECT qid, rank, cid FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "x_tiff" ->
+      """SELECT doc_id,
+        |       'TIFFIngestor' AS ingestor,
+        |       'Cam' || (doc_id % 3) AS make,
+        |       'Mod' || (doc_id % 5) AS model,
+        |       '2021-06-15T10:11:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+        |         AS authored_at
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_image" ->
       """SELECT doc_id,
         |       'Cam' || (doc_id % 3) AS make,

@@ -91,6 +91,10 @@ object QueryLib extends Serializable {
       case "xml" =>
         (s"doc$id.xml", CorpusGen.renderXml("doc",
           text.split(" ").grouped(12).map(_.mkString(" ")).toSeq))
+      case "tiff_exif" =>
+        (s"doc$id.tif", graft.extract.Exif.writeTiff(
+          s"Cam${id % 3}", s"Mod${id % 5}",
+          f"2021:06:15 10:11:${id % 60}%02d"))
       case "jpg_exif" =>
         (s"doc$id.jpg", CorpusGen.renderJpegExif(
           s"Cam${id % 3}", s"Mod${id % 5}",
