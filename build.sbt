@@ -11,6 +11,21 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// ExpressionsSpec builds its OWN SparkSession to prove the
+// spark.sql.extensions injection path; getOrCreate would silently reuse
+// (and drop extensions from) the session the other suites share, so it
+// runs in a dedicated forked JVM.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  val env = (Test / envVars).value
+  val runPolicy = Tests.SubProcess(ForkOptions().withRunJVMOptions(opts).withEnvVars(env))
+  val (solo, rest) = tests.partition(_.name.endsWith("ExpressionsSpec"))
+  Seq(
+    Tests.Group("extensions", solo, runPolicy),
+    Tests.Group("main", rest, runPolicy),
+  )
+}
 // POSIX locale would give the forked JVMs sun.jnu.encoding=ASCII, making
 // non-ASCII fixture paths unrepresentable; the -D flags alone don't fix
 // the path codec on JDK 17

@@ -432,11 +432,19 @@ object SparkEntry {
         .orderBy("qid")
     }),
     "e_embed_dups" -> ((s, dir) => {
+      // Plants BOTH exact-direction copies (×2 scale, cos = 1) and slightly
+      // perturbed near-dups (coord0 ×1.05 → cos ≥ 0.9997 at any vector
+      // scale) so the oracle pins the LSH recall contract, not just the
+      // trivial identical-signature case (see Dedup.embeddingDups scaladoc).
       val emb = QueryLib.embeddings(s, dir)
         .select(col("vec_id").cast("long"), col("embedding"))
       val scaled = emb.select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"), x => x * 2.0f).as("embedding"))
-      Dedup.embeddingDups(s, emb.unionByName(scaled), "vec_id", "embedding", 0.9999)
+      val perturbed = emb.select((col("vec_id") + 2000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x * 1.05f).otherwise(x)).as("embedding"))
+      Dedup.embeddingDups(s, emb.unionByName(scaled).unionByName(perturbed),
+          "vec_id", "embedding", 0.999)
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
 
@@ -872,8 +880,13 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id"
     },
     "e_embed_dups" ->
-      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings
-        |ORDER BY id_a, id_b""".stripMargin,
+      """SELECT id_a, id_b FROM (
+        |  SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id, vec_id + 2000000 FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, vec_id + 2000000 FROM embeddings
+        |) ORDER BY id_a, id_b""".stripMargin,
     "s_ann_lsh" ->
       """SELECT vec_id + 1000000 AS qid, vec_id AS cid FROM embeddings
         |WHERE vec_id < 100 ORDER BY qid""".stripMargin,

@@ -17,34 +17,54 @@ object Analyze {
   val PhoneRegex = """(\+?[\d\-\(\)\/\s]{5,}\d{2})"""
   val IbanRegex = """\b([A-Za-z]{2} ?[0-9]{2} ?[A-Za-z0-9]{4} ?[0-9]{7}([A-Za-z0-9]?){0,16})\b"""
 
-  /** Extract (doc_id, prop, value) tag rows from span text.
-    * One narrow projection + explode per pattern, unioned. */
-  def extractPatterns(spans: DataFrame): DataFrame = {
-    def tags(prop: String, regex: String, group: Int): DataFrame =
-      spans.select(col("doc_id"),
-          explode(regexp_extract_all(col("text"), lit(regex), lit(group))).as("value"))
+  /** Extract (doc_id, prop, value, pos) tag rows from span text.
+    * One narrow projection + explode per pattern, unioned. `pos` encodes the
+    * reference's feed order (`patterns.py:22-30`: per chunk, per pattern
+    * family, per match) as span_ord·2^40 + pattern_rank·2^32 + match_idx so
+    * the TagAggregator's first-come cap can reproduce insertion order.
+    * `orderCol` names the span-ordering column (e.g. a span offset); absent,
+    * all spans rank equal and order falls to (pattern, match). */
+  def extractPatterns(spans: DataFrame, orderCol: Option[String] = None): DataFrame = {
+    val spanOrd = orderCol.map(c => col(c).cast("long")).getOrElse(lit(0L))
+    def tags(rank: Int, prop: String, regex: String, group: Int): DataFrame =
+      spans.select(col("doc_id"), spanOrd.as("span_ord"),
+          posexplode(regexp_extract_all(col("text"), lit(regex), lit(group))))
+        .withColumnRenamed("col", "value")
         .filter(length(col("value")) > 0)
         .withColumn("prop", lit(prop))
-        .select("doc_id", "prop", "value")
-    tags("emailMentioned", EmailRegex, 0)
-      .unionByName(tags("phoneMentioned", PhoneRegex, 1)
+        .withColumn("pos", col("span_ord") * lit(1L << 40) +
+          lit(rank.toLong * (1L << 32)) + col("pos"))
+        .select("doc_id", "prop", "value", "pos")
+    tags(0, "emailMentioned", EmailRegex, 0)
+      .unionByName(tags(1, "phoneMentioned", PhoneRegex, 1)
         .withColumn("value", regexp_replace(col("value"), """[\-\(\)\/\s]""", ""))
         .filter(length(col("value")) >= 7))
-      .unionByName(tags("ibanMentioned", IbanRegex, 1))
+      .unionByName(tags(2, "ibanMentioned", IbanRegex, 1))
   }
 
   /** TagAggregator (`analysis/aggregate.py:38-60`): group values by
     * (normalized key, prop), keep the distinct surface forms, cap total
-    * keys per doc. The normalization (node_id) = lowercased trimmed. */
+    * keys per doc. The normalization (node_id) = lowercased trimmed.
+    *
+    * Cap parity (`aggregate.py:47-52`): the reference refuses NEW keys only
+    * once the aggregator already holds MORE than MAX_TAGS keys — first-come
+    * insertion order, and because the check is `>` (not `>=`) up to
+    * MAX_TAGS+1 keys survive. Arrival order is the `pos` column when the
+    * input carries one (extractPatterns emits it); otherwise ties break on
+    * (prop, key) deterministically. */
   def aggregateTags(tags: DataFrame, maxTagsPerDoc: Int = 10000): DataFrame = {
     val keyed = tags.withColumn("key", lower(trim(col("value"))))
-    keyed.groupBy(col("doc_id"), col("prop"), col("key"))
-      .agg(collect_set(col("value")).as("values"), count(lit(1)).as("freq"))
+    val withPos =
+      if (keyed.columns.contains("pos")) keyed else keyed.withColumn("pos", lit(0L))
+    withPos.groupBy(col("doc_id"), col("prop"), col("key"))
+      .agg(collect_set(col("value")).as("values"), count(lit(1)).as("freq"),
+        min(col("pos")).as("first_pos"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("freq").desc, col("key"))))
-      .filter(col("rn") <= maxTagsPerDoc)
-      .drop("rn")
+          .partitionBy(col("doc_id"))
+          .orderBy(col("first_pos"), col("prop"), col("key"))))
+      .filter(col("rn") <= maxTagsPerDoc + 1)
+      .drop("rn", "first_pos")
   }
 
   /** TagAggregatorFasttext (`analysis/aggregate.py:10-34`): like

@@ -290,6 +290,9 @@ object Lzma {
         while (i < size) { win.put(data(p + i)); i += 1 }
         p += size
       } else if (control >= 0x80) {
+        // 4 header bytes, +1 props byte when resetMode >= 2
+        if (p + 4 + (if (((control >> 5) & 3) >= 2) 1 else 0) > data.length)
+          throw new ProcessingError("lzma2: truncated")
         val unpack = (((control & 0x1f) << 16) |
           ((data(p) & 0xff) << 8) | (data(p + 1) & 0xff)) + 1
         val pack = (((data(p + 2) & 0xff) << 8) | (data(p + 3) & 0xff)) + 1

@@ -71,18 +71,24 @@ object Sqlite {
         System.arraycopy(bytes, off, out, 0, local)
         out
       } else {
-        val out = new java.io.ByteArrayOutputStream(total.toInt)
+        // A crafted DB can declare a payload near 2 GB and/or loop its
+        // overflow chain; cap accumulated bytes (like the codecs do) and
+        // reject page revisits so one bad file can't OOM or hang a task.
+        if (total > PackageLimits.MaxMemberBytes)
+          throw new ProcessingError("SQLite: oversized cell payload")
+        val out = new java.io.ByteArrayOutputStream(math.min(total, 1 << 20).toInt)
         out.write(bytes, off, local)
         var next = u32(bytes, off + local)
         var remaining = total - local
-        var guard = 0
-        while (next != 0 && remaining > 0 && guard < 100000) {
+        val visited = new java.util.HashSet[Long]()
+        while (next != 0 && remaining > 0) {
+          if (!visited.add(next))
+            throw new ProcessingError("SQLite: cyclic overflow chain")
           val po = pageOff(next)
           val take = math.min(remaining, (usable - 4).toLong).toInt
           out.write(bytes, po + 4, take)
           remaining -= take
           next = u32(bytes, po)
-          guard += 1
         }
         out.toByteArray
       }
@@ -139,11 +145,16 @@ object Sqlite {
       }
     }
 
-    /** Walk a table b-tree, calling f per record. */
+    /** Walk a table b-tree, calling f per record. A per-walk visited-page
+      * set rejects crafted self-referencing interior pages (which the
+      * depth bound alone does not: nCells^32 visits is an effective hang). */
     def walkTable(root: Long, f: Vector[String] => Unit): Unit = {
       var count = 0
+      val visited = new java.util.HashSet[Long]()
       def walk(pg: Long, depth: Int): Unit = {
         if (depth > 32 || count >= maxRows) return
+        if (!visited.add(pg))
+          throw new ProcessingError("SQLite: cyclic b-tree")
         val off = pageOff(pg)
         val hdrOff = if (pg == 1) off + 100 else off
         val typ = bytes(hdrOff) & 0xff

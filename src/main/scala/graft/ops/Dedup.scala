@@ -44,23 +44,33 @@ object Dedup {
 
   private val P = (1L << 61) - 1 // Mersenne prime
 
-  private def hashCoeffs(k: Int): Array[(Long, Long)] = {
-    val rng = new graft.corpus.CorpusGen.Rng(0x6a09e667f3bcc908L)
-    Array.fill(k)((math.abs(rng.nextLong()) % (P - 1) + 1,
-      math.abs(rng.nextLong()) % P))
-  }
+  // Coefficients are deterministic in k — computed once per JVM (executor),
+  // not per document: the signature loop is the hottest code in the LSH path.
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def hashCoeffs(k: Int): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent(k, (kk: Int) => {
+      val rng = new graft.corpus.CorpusGen.Rng(0x6a09e667f3bcc908L)
+      val as = new Array[Long](kk); val bs = new Array[Long](kk)
+      var i = 0
+      while (i < kk) {
+        as(i) = math.abs(rng.nextLong()) % (P - 1) + 1
+        bs(i) = math.abs(rng.nextLong()) % P
+        i += 1
+      }
+      (as, bs)
+    })
 
   def minhashSignature(shingleHashes: Iterable[Long], k: Int): Array[Long] = {
-    val coeffs = hashCoeffs(k)
+    val (as, bs) = hashCoeffs(k)
     val sig = Array.fill(k)(Long.MaxValue)
     for (x0 <- shingleHashes) {
-      val x = x0 & 0x7fffffffffffffffL
+      val x = (x0 & 0x7fffffffffffffffL) % P
       var i = 0
       while (i < k) {
-        val (a, b) = coeffs(i)
-        // (a*x+b) mod p via Math.multiplyHigh-free route: use BigInt-free
-        // 126-bit mod-Mersenne reduction
-        val v = modMersenne61(mulmod61(a, x % P) + b)
+        // (a*x+b) mod p via BigInt-free 126-bit mod-Mersenne reduction
+        val v = modMersenne61(mulmod61(as(i), x) + bs(i))
         if (v < sig(i)) sig(i) = v
         i += 1
       }
@@ -215,7 +225,18 @@ object Dedup {
       .filter($"dist" <= maxDist)
   }
 
-  /** Embedding-cosine near-dup: pairs with cosine ≥ threshold.
+  /** Embedding-cosine near-dup: pairs with cosine ≥ threshold — APPROXIMATE
+    * in recall, exact in precision.
+    *
+    * Recall contract: a candidate pair surfaces only if some table's `bits`
+    * hyperplane signs all agree. For angle θ between the vectors each bit
+    * agrees with probability 1−θ/π, so recall ≈ 1−(1−(1−θ/π)^bits)^tables —
+    * at the defaults (8 tables × 16 bits) that is ~0.999 for cosine 0.995,
+    * ~0.97 for cosine 0.98, ~0.80 for cosine 0.95. Pairs that do surface are
+    * always cosine-verified (no false positives). Raise `tables` (linear
+    * cost, narrow stage) to buy recall at lower thresholds. The
+    * `e_embed_dups` oracle plants both exact-direction and slightly
+    * perturbed (cos≈0.995) duplicates to pin this behavior.
     *
     * Scale plan: random-hyperplane sign signatures bucket the vectors
     * (`tables` independent 16-bit bands — near-identical directions share

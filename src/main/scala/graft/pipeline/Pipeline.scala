@@ -316,13 +316,14 @@ object Pipeline {
     * (`support/convert.py:27-45`, `support/ocr.py:28-45`). Returns the
     * deduplicated pending set + the (doc_id → representative) mapping.
     *
-    * Shuffle discipline: payload bytes never move. The hash is computed in
-    * the narrow projection stage; only (content_hash, doc_id) rows enter
-    * the groupBy, and the winner-id set joins back to the payload rows as a
-    * broadcast semi-join (id column only), so the pending partitions stay
-    * in place. At true 100 TB the broadcast winner set is replaced by a
-    * bucketed storage join on doc_id — same logical plan, the physical join
-    * strategy flips with the table layout. */
+    * Shuffle discipline: payload bytes never move through the dedup logic —
+    * the hash is computed in the narrow projection stage and only
+    * (content_hash, doc_id) rows enter the groupBy. The winner-id semi-join
+    * back to the payload rows is left UNHINTED on purpose: the winner set is
+    * one id per distinct document (hundreds of millions of rows at 100 TB),
+    * so a forced broadcast would OOM the driver. AQE picks broadcast when
+    * the winner set is actually small and shuffled-hash/sort-merge on
+    * doc_id otherwise; with bucketed storage the join is co-located. */
   def dedupByContent(spark: SparkSession, pending: Dataset[PendingDoc])
       : (Dataset[PendingDoc], DataFrame) = {
     import spark.implicits._
@@ -337,7 +338,7 @@ object Pipeline {
     val winners = mapping.filter($"doc_id" === $"representative")
       .select($"doc_id")
     val deduped = pending
-      .join(broadcast(winners), Seq("doc_id"), "left_semi")
+      .join(winners, Seq("doc_id"), "left_semi")
       .as[PendingDoc]
     (deduped, mapping)
   }

@@ -110,6 +110,65 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  /** Rewrites the writer's leaf (page 2) as one cell whose payload of
+    * `total` bytes spills to overflow page 3, which points at itself. */
+  private def sqliteWithOverflow(total: Long): Array[Byte] = {
+    val ok = Sqlite.write("t", Seq("a"), Seq(Seq("x")))
+    val bytes = java.util.Arrays.copyOf(ok, 4096 * 3) // append page 3
+    def varint(v: Long): Array[Byte] = {
+      if (v < 128) Array(v.toByte)
+      else {
+        val parts = scala.collection.mutable.ArrayBuffer[Byte]()
+        var x = v
+        while (x > 0) { parts.prepend((x & 0x7f).toByte); x >>= 7 }
+        (parts.init.map(b => (b | 0x80).toByte) :+ parts.last).toArray
+      }
+    }
+    val usable = 4096
+    val localMax = usable - 35
+    val localMin = (usable - 12) * 32 / 255 - 23
+    val k = localMin + ((total - localMin) % (usable - 4)).toInt
+    val local = if (total <= localMax) total.toInt
+                else if (k <= localMax) k else localMin
+    val cell = varint(total) ++ varint(1L) ++ new Array[Byte](local) ++
+      Array[Byte](0, 0, 0, 3) // overflow -> page 3
+    java.util.Arrays.fill(bytes, 4096, 8192, 0.toByte)
+    bytes(4096) = 0x0d // table leaf
+    bytes(4096 + 3) = 0; bytes(4096 + 4) = 1 // one cell
+    val cellOff = 4096 - cell.length
+    bytes(4096 + 5) = ((cellOff >> 8) & 0xff).toByte
+    bytes(4096 + 6) = (cellOff & 0xff).toByte
+    bytes(4096 + 8) = ((cellOff >> 8) & 0xff).toByte
+    bytes(4096 + 9) = (cellOff & 0xff).toByte
+    System.arraycopy(cell, 0, bytes, 4096 + cellOff, cell.length)
+    // page 3: next-overflow pointer = 3 (self-cycle)
+    bytes(8192 + 3) = 3
+    bytes
+  }
+
+  test("crafted cyclic sqlite overflow chain fails cleanly (no 2GB alloc)") {
+    // 50 MB declared payload, chain 3 -> 3: visited-set must fire
+    val r = SqliteExtractor.extract(RawDoc("d", "m.sqlite", "", sqliteWithOverflow(50L * 1000 * 1000)))
+    assert(r.status == graft.core.ExtractionResult.Failure, r.error)
+  }
+
+  test("sqlite payload beyond the member cap is rejected before allocating") {
+    val r = SqliteExtractor.extract(RawDoc("d", "m.sqlite", "", sqliteWithOverflow(200L * 1000 * 1000)))
+    assert(r.status == graft.core.ExtractionResult.Failure, r.error)
+  }
+
+  test("crafted self-referencing sqlite interior page aborts, not nCells^32") {
+    // a table large enough for an interior root at page 2; point its
+    // rightmost-child at itself
+    val rows = (0 until 400).map(i => Seq(s"row $i " + "pad" * 30))
+    val ok = Sqlite.write("t", Seq("a"), rows)
+    assert((ok(4096) & 0xff) == 0x05, "expected interior root")
+    val b = ok.clone()
+    b(4096 + 8) = 0; b(4096 + 9) = 0; b(4096 + 10) = 0; b(4096 + 11) = 2
+    val r = SqliteExtractor.extract(RawDoc("d", "m.sqlite", "", b))
+    assert(r.status == graft.core.ExtractionResult.Failure, r.error)
+  }
+
   test("cyclic CFBF FAT chain aborts instead of amplifying") {
     // minimal CFBF: 512B header, sector 0 = FAT, directory chain 1 -> 1 (cycle)
     val bytes = new Array[Byte](512 * 3)
