@@ -70,7 +70,20 @@ object Bench {
     results += ("pipeline_extract" -> pipeSec)
     val docsPerSec = processed / math.max(pipeSec, 1e-9)
 
+    // content-hash dedup stage over the same pending corpus (the
+    // conversion/OCR-cache analogue): measured, not just documented —
+    // the semi-join strategy is AQE's choice (no broadcast hint)
+    if (!sys.env.contains("SPARK_GRAFT_PIPELINE_ONLY")) {
+      val dedupRuns = (1 to 3).map { _ =>
+        time { Pipeline.dedupByContent(spark, pending0)._1.count() }._1
+      }
+      results += ("pipeline_dedup" -> dedupRuns.min)
+    }
+    pending0.unpersist()
+
     // representative operator queries (same entries the verifier checks);
+    // best-of-3 per query — single-shot timings on this host are noise
+    // (hypervisor steal; see BASELINE.md methodology).
     // SPARK_GRAFT_PIPELINE_ONLY=1 skips them for pure scaling measurements
     val benchQueries =
       if (sys.env.contains("SPARK_GRAFT_PIPELINE_ONLY")) Seq.empty[String]
@@ -80,13 +93,16 @@ object Bench {
         "a_thread_join")
     for (q <- benchQueries) {
       val fn = SparkEntry.queries(q)
-      val (sec, _) = time {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $q failed: ${e.getMessage}"); -1L }
+      val secs = (1 to 3).map { _ =>
+        val (sec, ok) = time {
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $q failed: ${e.getMessage}"); false }
+        }
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        if (ok) sec else -1.0
       }
-      results += (q -> sec)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      results += (q -> (if (secs.contains(-1.0)) -1.0 else secs.min))
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

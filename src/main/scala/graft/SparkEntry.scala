@@ -358,15 +358,30 @@ object SparkEntry {
     // Accuracy gate for the 26-language detector: each doc carries a
     // held-out sentence (disjoint from the trigram training paragraphs) in
     // language ordered(doc_id % 26); the detector must name it exactly.
+    // Held-out gate for the from-scratch fastText lid.176 inference: 69
+    // languages / 20+ scripts, every sentence written for this gate and
+    // pinned to the model's confident top-1. Falls back to the trigram
+    // scorer's 29-language corpus when no model file is present (the
+    // oracle below assumes the model, like FixtureSpec assumes fixtures).
     "t_lang_id" -> ((s, dir) => {
       import s.implicits._
-      val langs = graft.ops.LangId.ordered
+      val useModel = graft.analysis.FastTextLid.get.isDefined
+      val corpus =
+        if (useModel) graft.analysis.FastTextLid.heldOut
+        else graft.ops.LangId.ordered.map(l => l -> graft.ops.LangId.testSentences(l))
       QueryLib.documents(s, dir)
         .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map { id =>
-          val lang = langs((id % langs.size).toInt)
-          (id, TextOps.detectLanguage(graft.ops.LangId.testSentences(lang)))
-        }).toDF("doc_id", "detected_lang")
+        .mapPartitions { it =>
+          val lid = graft.analysis.FastTextLid.get
+          it.map { id =>
+            val text = corpus((id % corpus.size).toInt)._2
+            val detected = lid match {
+              case Some(m) => m.detect(text).map(_._1).getOrElse("und")
+              case None => TextOps.detectLanguage(text)
+            }
+            (id, detected)
+          }
+        }.toDF("doc_id", "detected_lang")
         .orderBy("doc_id")
     }),
     "t_fingerprint" -> ((s, dir) => {
@@ -873,7 +888,7 @@ object SparkEntry {
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
     "t_lang_id" -> {
-      val langs = graft.ops.LangId.ordered
+      val langs = graft.analysis.FastTextLid.heldOut.map(_._1)
       val cases = langs.zipWithIndex
         .map { case (l, i) => s"WHEN $i THEN '$l'" }.mkString(" ")
       s"SELECT doc_id, CASE doc_id % ${langs.size} $cases END AS detected_lang " +
