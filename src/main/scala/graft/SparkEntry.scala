@@ -556,17 +556,27 @@ object SparkEntry {
         }.toDF("doc_id", "chunk_idx", "chunk")
         .orderBy("doc_id", "chunk_idx")
     }),
+    // Mention synthesis with detectedSchema (analysis/__init__.py:70-79):
+    // planted PER/ORG values (including one per doc the clean_name gate
+    // must reject) -> cleanNameTags -> aggregate -> Mention rows.
     "a_mentions" -> ((s, dir) => {
-      val spans = QueryLib.documents(s, dir)
-        .select(col("doc_id").cast("long").as("doc_id"),
-          concat(col("text"), lit(" contact user"), col("doc_id"),
-            lit("@example.com")).as("text"))
-      val agg = Analyze.aggregateTags(Analyze.extractPatterns(spans)
-        .filter(col("prop") === "emailMentioned"))
+      import s.implicits._
+      val people = QueryLib.MentionPeople
+      val companies = QueryLib.MentionCompanies
+      val tags = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          Seq(
+            (id, "peopleMentioned", people((id % people.size).toInt)),
+            (id, "companiesMentioned", companies((id % companies.size).toInt)),
+            (id, "peopleMentioned", "Cher"),          // no space -> rejected
+            (id, "companiesMentioned", "  A B  "))    // <=4 chars -> rejected
+        }.toDF("doc_id", "prop", "value")
+      val agg = Analyze.aggregateTags(Analyze.cleanNameTags(s, tags))
       Analyze.mentions(agg)
         .select(col("mention_id"), col("document").cast("long").as("document"),
-          col("detected_prop"), col("resolved_key"))
-        .orderBy("document", "resolved_key")
+          col("detected_prop"), col("detected_schema"), col("resolved_key"))
+        .orderBy("document", "detected_prop", "resolved_key")
     }),
     // TagAggregatorFasttext gate: synthesized person/company/trash values
     // per doc — the type model must keep exactly the person + company
@@ -597,16 +607,17 @@ object SparkEntry {
       import s.implicits._
       val cities = Vector("Berlin", "Paris", "London", "Madrid", "Rome",
         "Tokyo", "Toronto", "Mumbai", "Cairo", "Sydney")
+      val people = QueryLib.MentionPeople
       val tags = QueryLib.documents(s, dir)
         .select(col("doc_id").cast("long")).as[Long]
         .flatMap { id =>
           Seq(
-            (id, "emailMentioned", s"user$id@example.com"),
+            (id, "peopleMentioned", people((id % people.size).toInt)),
             (id, "locationMentioned", cities((id % 10).toInt)))
         }.toDF("doc_id", "prop", "value")
       Analyze.mentionsWithCountry(s, Analyze.aggregateTags(tags))
         .select(col("document").cast("long").as("document"),
-          col("resolved_key"),
+          col("resolved_key"), col("detected_schema"),
           concat_ws(",", col("context_country")).as("context_country"))
         .orderBy("document", "resolved_key")
     }),
@@ -616,6 +627,16 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"),
           col("in_reply_to_doc").cast("long").as("in_reply_to_doc"))
         .orderBy("doc_id")
+    }),
+    // EmailIdentity -> Person rows (support/email.py:18-49): eml roundtrip
+    // through the pipeline, identities re-keyed per the reference's rules
+    // (valid email wins, else >10-char name; bare-email labels flip).
+    "x_eml_persons" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "eml_ids"))
+      Analyze.emailPersons(s, out.meta)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("person_key"), col("name"), col("email"))
+        .orderBy("doc_id", "person_key")
     }),
 
     // ---- full corpus (rows-only smoke of every extractor family) -------
@@ -973,13 +994,23 @@ object SparkEntry {
         |             unnest(range(CAST(ceil(length(text) / 100.0) AS BIGINT))) AS i
         |      FROM documents WHERE length(text) >= 5)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
-    "a_mentions" ->
-      """SELECT substr(sha256('mention|' || doc_id || '|emailMentioned|' ||
-        |         'user' || doc_id || '@example.com'), 1, 20) AS mention_id,
-        |       doc_id AS document,
-        |       'emailMentioned' AS detected_prop,
-        |       'user' || doc_id || '@example.com' AS resolved_key
-        |FROM documents ORDER BY document, resolved_key""".stripMargin,
+    "a_mentions" -> {
+      val pCase = QueryLib.MentionPeople.zipWithIndex
+        .map { case (p, i) => s"WHEN $i THEN '${p.toLowerCase}'" }.mkString(" ")
+      val cCase = QueryLib.MentionCompanies.zipWithIndex
+        .map { case (c, i) => s"WHEN $i THEN '${c.toLowerCase}'" }.mkString(" ")
+      s"""SELECT substr(sha256('mention|' || document || '|' || detected_prop || '|' || resolved_key), 1, 20) AS mention_id,
+         |       document, detected_prop, detected_schema, resolved_key FROM (
+         |  SELECT doc_id AS document, 'peopleMentioned' AS detected_prop,
+         |         'Person' AS detected_schema,
+         |         CASE doc_id % ${QueryLib.MentionPeople.size} $pCase END AS resolved_key
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 'companiesMentioned', 'Organization',
+         |         CASE doc_id % ${QueryLib.MentionCompanies.size} $cCase END
+         |  FROM documents
+         |) ORDER BY document, detected_prop, resolved_key""".stripMargin
+    },
     "a_typed_tags" -> {
       val people = Vector("john smith", "maria garcia", "ivan petrov",
         "fatima hassan", "chen wei", "anna kowalski", "ahmed khan",
@@ -1000,13 +1031,28 @@ object SparkEntry {
     "a_mentions_country" -> {
       val cc = Vector("de", "fr", "gb", "es", "it", "jp", "ca", "in", "eg", "au")
       val ccCase = cc.zipWithIndex.map { case (c, i) => s"WHEN $i THEN '$c'" }.mkString(" ")
+      val pCase = QueryLib.MentionPeople.zipWithIndex
+        .map { case (p, i) => s"WHEN $i THEN '${p.toLowerCase}'" }.mkString(" ")
       s"""SELECT doc_id AS document,
-         |       'user' || doc_id || '@example.com' AS resolved_key,
+         |       CASE doc_id % ${QueryLib.MentionPeople.size} $pCase END AS resolved_key,
+         |       'Person' AS detected_schema,
          |       CASE doc_id % 10 $ccCase END AS context_country
          |FROM documents ORDER BY document, resolved_key""".stripMargin
     },
     "a_thread_join" ->
       """SELECT doc_id, doc_id - 1 AS in_reply_to_doc FROM documents
-        |WHERE doc_id > 0 ORDER BY doc_id""".stripMargin
+        |WHERE doc_id > 0 ORDER BY doc_id""".stripMargin,
+    "x_eml_persons" ->
+      """SELECT doc_id, person_key, name, email FROM (
+        |  SELECT doc_id, 'sender' || doc_id || '@graft.test' AS person_key,
+        |         'User' || doc_id || ' Sender' || doc_id AS name,
+        |         'sender' || doc_id || '@graft.test' AS email FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'recipient' || doc_id || '@graft.test', '',
+        |         'recipient' || doc_id || '@graft.test' FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'shared' || (doc_id % 10) || '@graft.test', 'Ali Baba',
+        |         'shared' || (doc_id % 10) || '@graft.test' FROM documents
+        |) ORDER BY doc_id, person_key""".stripMargin
   )
 }

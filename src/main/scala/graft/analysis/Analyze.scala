@@ -105,16 +105,102 @@ object Analyze {
         coalesce(col("context_country"), array().cast("array<string>")))
   }
 
+  /** `Analyzer.MENTIONS` (`analysis/__init__.py:22`): only these two props
+    * synthesize Mention entities, each carrying its detectedSchema. */
+  val MentionSchemas: Map[String, String] = Map(
+    "peopleMentioned" -> "Person", "companiesMentioned" -> "Organization")
+
   /** Mention synthesis (`analysis/__init__.py:49-95`): deterministic
-    * mention id per (doc, prop, key). */
+    * mention id per (doc, prop, key); only MENTIONS props qualify and each
+    * mention is stamped with its detectedSchema (`__init__.py:70-79`). */
   def mentions(aggregated: DataFrame): DataFrame = {
-    aggregated.select(
-      sha2(concat_ws("|", lit("mention"), col("doc_id"), col("prop"), col("key")), 256)
-        .substr(1, 20).as("mention_id"),
-      col("doc_id").as("document"),
-      col("prop").as("detected_prop"),
-      col("key").as("resolved_key"),
-      col("values").as("names"))
+    val schemaCol = MentionSchemas.foldLeft(lit(null).cast("string")) {
+      case (acc, (prop, schema)) =>
+        when(col("prop") === prop, lit(schema)).otherwise(acc)
+    }
+    aggregated
+      .withColumn("detected_schema", schemaCol)
+      .filter(col("detected_schema").isNotNull)
+      .select(
+        sha2(concat_ws("|", lit("mention"), col("doc_id"), col("prop"), col("key")), 256)
+          .substr(1, 20).as("mention_id"),
+        col("doc_id").as("document"),
+        col("prop").as("detected_prop"),
+        col("detected_schema"),
+        col("key").as("resolved_key"),
+        col("values").as("names"))
+  }
+
+  /** `clean_name` (`analysis/extract.py:27-35`): PER/ORG surface forms must
+    * be 4–100 chars after cleanup and contain a space; punctuation is
+    * stripped from the edges and whitespace collapsed (the portable core of
+    * fingerprints.clean_entity_name + normality.collapse_spaces). */
+  def cleanName(text: String): Option[String] = {
+    if (text == null || text.length > 100) return None
+    val collapsed = text.trim.replaceAll("\\s+", " ")
+      .replaceAll("^[\\p{Punct}\\s]+|[\\p{Punct}\\s]+$", "")
+    if (collapsed.length <= 4 || !collapsed.contains(' ')) None
+    else Some(collapsed)
+  }
+
+  /** Apply the clean_name gate to name-prop tag rows (the step the
+    * reference runs on every spaCy entity before aggregation,
+    * `extract.py:41-57`); non-name props pass through untouched. */
+  def cleanNameTags(spark: SparkSession, tags: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cols = tags.columns
+    val hasPos = cols.contains("pos")
+    tags.select(col("doc_id").cast("long"), col("prop"), col("value"),
+        (if (hasPos) col("pos") else lit(0L)).as("pos"))
+      .as[(Long, String, String, Long)]
+      .flatMap { case (id, prop, value, pos) =>
+        if (MentionSchemas.contains(prop))
+          cleanName(value).map(v => (id, prop, v, pos))
+        else Some((id, prop, value, pos))
+      }
+      .toDF("doc_id", "prop", "value", "pos")
+  }
+
+  /** EmailIdentity parity (`support/email.py:18-49`): each sender/recipient
+    * label on an Email document becomes a Person row when it has a valid
+    * email (key = email) or a name longer than 10 chars (key = name). The
+    * label forms are exactly the three the reference builds
+    * ("name <email>", bare email, bare name), so they parse back losslessly.
+    * One narrow flatMap over the metadata table + a distinct. */
+  def emailPersons(spark: SparkSession, meta: Dataset[DocMeta]): DataFrame = {
+    import spark.implicits._
+    meta.filter(_.schema == "Email")
+      .flatMap { m =>
+        Seq("sender", "from", "to", "cc", "bcc")
+          .flatMap(p => m.properties.getOrElse(p, Seq.empty))
+          .flatMap(personFromLabel)
+          .map { case (key, name, email) => (m.doc_id, key, name, email) }
+      }
+      .toDF("doc_id", "person_key", "name", "email")
+      .distinct()
+  }
+
+  private val EmailRe =
+    java.util.regex.Pattern.compile("^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")
+
+  /** (key, name, email) per `EmailIdentity.__init__`; None when neither a
+    * valid email nor a >10-char name is available (no stable key). */
+  def personFromLabel(label0: String): Option[(String, String, String)] = {
+    val label = if (label0 == null) "" else label0.trim
+    if (label.isEmpty) return None
+    val m = java.util.regex.Pattern.compile("^(.*?)\\s*<([^<>]*)>$").matcher(label)
+    var (name, email) =
+      if (m.matches()) (m.group(1).trim, m.group(2).trim) else (label, "")
+    if (email.nonEmpty && !EmailRe.matcher(email).matches()) email = ""
+    if (EmailRe.matcher(name).matches()) { // name IS an email (email.py:24-26)
+      if (email.isEmpty) email = name
+      name = ""
+    }
+    val key =
+      if (email.nonEmpty) email.toLowerCase
+      else if (name.length > 10) name.toLowerCase
+      else return None
+    Some((key, name, email.toLowerCase))
   }
 
   /** Message-id threading (`support/email.py:140-167`): instead of Redis

@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   * verifies classifier + parser + pipeline end-to-end. */
 object QueryLib extends Serializable {
 
+  /** Shared planted PER/ORG surface forms (all pass the clean_name gate:
+    * >4 chars, contain a space). */
+  val MentionPeople: Vector[String] = Vector("John Smith", "Maria Garcia",
+    "Ivan Petrov", "Fatima Hassan", "Chen Weimin", "Anna Kowalski",
+    "Ahmed Khan", "Sofia Rossi", "David Cohen", "Yuki Tanaka")
+  val MentionCompanies: Vector[String] = Vector("Acme Holdings Ltd",
+    "Globex GmbH", "Initech LLC", "Umbrella Corp", "Stark Industries Inc",
+    "Wayne Enterprises Plc", "Cyberdyne Systems SA", "Tyrell BV")
+
   def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -44,6 +53,16 @@ object QueryLib extends Serializable {
       case "json" =>
         val items = text.split(" ").map(t => "\"" + t + "\"").mkString(", ")
         (s"doc$id.json", s"""{"items": [$items]}""".getBytes("UTF-8"))
+      case "eml_ids" =>
+        // varied identities exercising EmailIdentity's three label shapes
+        // (support/email.py:28-36): name+email, bare email, shared contact
+        val eml = s"From: User$id Sender$id <sender$id@graft.test>\r\n" +
+          s"To: recipient$id@graft.test\r\n" +
+          s"Cc: Ali Baba <shared${id % 10}@graft.test>\r\n" +
+          s"Subject: Doc $id\r\n" +
+          "Content-Type: text/plain; charset=utf-8\r\n\r\n" +
+          text + "\r\n"
+        (s"doc$id.eml", eml.getBytes("UTF-8"))
       case "eml" =>
         val eml = s"From: Alice A <alice@graft.test>\r\n" +
           s"To: Bob B <bob@graft.test>\r\n" +

@@ -47,6 +47,46 @@ class AnalyzeSpec extends AnyFunSuite {
     assert(!keys.contains("k10001")) // the 10002nd key is refused
   }
 
+  test("clean_name gate: 4-100 chars, must contain a space (extract.py:27-35)") {
+    assert(Analyze.cleanName("John Smith") == Some("John Smith"))
+    assert(Analyze.cleanName("  John   Smith  ") == Some("John Smith"))
+    assert(Analyze.cleanName("\"Acme Holdings Ltd.\"") == Some("Acme Holdings Ltd"))
+    assert(Analyze.cleanName("Cher") == None)          // no space
+    assert(Analyze.cleanName("Madonna") == None)       // no space
+    assert(Analyze.cleanName("A B") == None)           // <= 4 after cleanup
+    assert(Analyze.cleanName("x" * 101) == None)       // > 100 pre-clean
+    assert(Analyze.cleanName(null) == None)
+  }
+
+  test("EmailIdentity key rules (support/email.py:18-49)") {
+    // name + valid email -> keyed on email
+    assert(Analyze.personFromLabel("Jane Roe <Jane.Roe@X.test>") ==
+      Some(("jane.roe@x.test", "Jane Roe", "jane.roe@x.test")))
+    // bare email label: name slot IS an email -> flips into email, name dropped
+    assert(Analyze.personFromLabel("someone@x.test") ==
+      Some(("someone@x.test", "", "someone@x.test")))
+    // invalid email + name > 10 chars -> keyed on lowercased name
+    assert(Analyze.personFromLabel("Carlos Santana Junior <not-an-email>") ==
+      Some(("carlos santana junior", "Carlos Santana Junior", "")))
+    // invalid email + short name -> no stable key, dropped
+    assert(Analyze.personFromLabel("Bob B <bad>") == None)
+    assert(Analyze.personFromLabel("") == None)
+    assert(Analyze.personFromLabel(null) == None)
+  }
+
+  test("mentions: only MENTIONS props qualify, detectedSchema stamped") {
+    val agg = Analyze.aggregateTags(Seq(
+      (1L, "peopleMentioned", "John Smith", 0L),
+      (1L, "companiesMentioned", "Acme Holdings Ltd", 1L),
+      (1L, "emailMentioned", "a@x.test", 2L)
+    ).toDF("doc_id", "prop", "value", "pos"))
+    val rows = Analyze.mentions(agg)
+      .select("detected_prop", "detected_schema").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(
+      "peopleMentioned" -> "Person", "companiesMentioned" -> "Organization"))
+  }
+
   test("extractPatterns pos encodes chunk, pattern family, match order") {
     val spans = Seq(
       (7L, 0, "mail a@x.com then b@x.com and phone +321 456 789"),
