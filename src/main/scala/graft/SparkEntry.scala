@@ -628,6 +628,22 @@ object SparkEntry {
           col("in_reply_to_doc").cast("long").as("in_reply_to_doc"))
         .orderBy("doc_id")
     }),
+    // PST roundtrip: from-scratch [MS-PST] writer (crypt none) -> NDB/LTP
+    // reader -> one eml child per message -> RFC822 pipeline. Matches the
+    // reference's readpst-export-then-delegate shape (outlookpst.py:13-39).
+    "x_pst" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "pst"))
+      val kids = out.meta.toDF().filter(col("depth") === 1)
+        .select(col("doc_id"), col("parent_id"), col("file_name"),
+          QueryLib.prop("subject").as("subject"))
+      val body = out.spans.toDF().filter(col("kind") === "text")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), """^\s+|\s+$""", "").as("body"))
+      kids.join(body, "doc_id")
+        .select(col("parent_id").cast("long").as("doc_id"), col("file_name"),
+          col("subject"), col("body"))
+        .orderBy("doc_id", "file_name")
+    }),
     // EmailIdentity -> Person rows (support/email.py:18-49): eml roundtrip
     // through the pipeline, identities re-keyed per the reference's rules
     // (valid email wins, else >10-char name; bare-email labels flip).
@@ -1042,6 +1058,15 @@ object SparkEntry {
     "a_thread_join" ->
       """SELECT doc_id, doc_id - 1 AS in_reply_to_doc FROM documents
         |WHERE doc_id > 0 ORDER BY doc_id""".stripMargin,
+    "x_pst" ->
+      """SELECT doc_id, file_name, subject, body FROM (
+        |  SELECT doc_id, 'Inbox ' || doc_id || '/0.eml' AS file_name,
+        |         'Msg A ' || doc_id AS subject,
+        |         trim(substr(text, 1, 1200)) AS body FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'Inbox ' || doc_id || '/1.eml',
+        |         'Msg B ' || doc_id, 'second body ' || doc_id FROM documents
+        |) ORDER BY doc_id, file_name""".stripMargin,
     "x_eml_persons" ->
       """SELECT doc_id, person_key, name, email FROM (
         |  SELECT doc_id, 'sender' || doc_id || '@graft.test' AS person_key,

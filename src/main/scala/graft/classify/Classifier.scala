@@ -49,6 +49,7 @@ object Classifier {
     if (isOleMagic(b)) return "application/vnd.ms-office"
     if (TarExtractor.looksLikeTar(b)) return "application/x-tar"
     if (startsWithAscii(b, "SQLite format 3\u0000")) return "application/x-sqlite3"
+    if (startsWithAscii(b, "!BDN")) return "application/vnd.ms-outlook" // PST NDB
     if (startsWith(b, Array(0x89, 0x50, 0x4e, 0x47))) return "image/png"
     if (startsWith(b, Array(0xff, 0xd8, 0xff))) return "image/jpeg"
     if (startsWithAscii(b, "GIF8")) return "image/gif"

@@ -30,8 +30,7 @@ object Dispatch {
     SevenZipExtractor,
     GzipExtractor,
     Bz2Extractor,
-    new UnsupportedExtractor("OutlookPSTIngestor", "Package",
-      "PST extraction requires readpst; unsupported in this build"),
+    PstExtractor,
     OlmArchiveExtractor,
     OlmMessageExtractor,
     MsgExtractor,

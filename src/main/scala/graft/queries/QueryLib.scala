@@ -132,6 +132,11 @@ object QueryLib extends Serializable {
           .map(_.map(_.take(24)).toSeq).toSeq
         (s"doc$id.dbf", graft.extract.DbfWriter.write(
           Seq(("COL_A", 24), ("COL_B", 24), ("COL_C", 24)), rows))
+      case "pst" =>
+        // two messages per store; bodies capped to keep each PC one block
+        (s"doc$id.pst", graft.extract.Pst.write(s"Inbox $id", Seq(
+          (s"Msg A $id", s"alice$id@graft.test", text.take(1200)),
+          (s"Msg B $id", s"bob$id@graft.test", s"second body $id"))))
       case "msg" =>
         (s"doc$id.msg", CorpusGen.renderMsg(s"Doc $id", text))
       case "msg_attach" =>
