@@ -93,6 +93,19 @@ object SparkEntry {
     }),
     // 7z roundtrip: Copy-codec container written Spark-side → pipeline
     // (SevenZipIngestor header+folder decode → PlainText child)
+    // RAR roundtrip: RAR4 store-method writer → pipeline (RARIngestor
+    // header parse + member extraction → PlainText children)
+    "x_rar" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "rar"))
+      val children = out.meta.toDF().filter(col("depth") === 1)
+        .select(col("parent_id").cast("long").as("doc_id"),
+          col("doc_id").as("child_id"), col("file_name"))
+      val body = out.spans.toDF().filter(col("kind") === "text")
+        .select(col("doc_id").as("child_id"), col("text").as("body"))
+      children.join(body, "child_id")
+        .select(col("doc_id"), col("file_name"), col("body"))
+        .orderBy("doc_id", "file_name")
+    }),
     "x_7z" -> ((s, dir) => {
       val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "7z"))
       val children = out.meta.toDF().filter(col("depth") === 1)
@@ -720,6 +733,11 @@ object SparkEntry {
     "x_7z" ->
       """SELECT doc_id, 'inner' || doc_id || '.txt' AS file_name, text AS body
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_rar" ->
+      """SELECT doc_id, 'a.txt' AS file_name, text AS body FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'b.txt' AS file_name, 'copy of doc ' || doc_id AS body FROM documents
+        |ORDER BY doc_id, file_name""".stripMargin,
     "x_targz" ->
       """SELECT doc_id, 'a.txt' AS file_name, text AS body FROM documents
         |UNION ALL

@@ -157,6 +157,51 @@ object CorpusGen {
     bos.toByteArray
   }
 
+  /** Byte-deterministic RAR4 archive with store-method (0x30) members —
+    * the roundtrip oracle input for [[graft.extract.RarExtractor]]. Header
+    * layout per the public RAR4 block tables (see Rar's scaladoc): each
+    * block is crc16(=low 16 bits of CRC32 over the header after the crc
+    * field), type, flags, size; file blocks carry pack/unp sizes, host,
+    * data CRC, DOS time, version, method, name. */
+  def renderRar(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val bos = new java.io.ByteArrayOutputStream()
+    def crc16(h: Array[Byte]): Int = {
+      val c = new java.util.zip.CRC32; c.update(h); (c.getValue & 0xffff).toInt
+    }
+    def writeBlock(h: Array[Byte]): Unit = {
+      val c = crc16(h); bos.write(c & 0xff); bos.write((c >> 8) & 0xff)
+      bos.write(h)
+    }
+    bos.write(Array[Byte]('R', 'a', 'r', '!', 0x1a, 0x07, 0x00))
+    writeBlock(Array[Byte](0x73, 0x00, 0x00, 0x0d, 0x00, // type, flags, size=13
+      0x00, 0x00, 0x00, 0x00, 0x00, 0x00))               // reserved
+    for ((name, data) <- members) {
+      val nb = name.getBytes("UTF-8")
+      val size = 32 + nb.length
+      val h = new Array[Byte](size - 2)
+      val bb = ByteBuffer.wrap(h).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(0x74.toByte)
+      bb.putShort(0x8000.toShort) // LONG_BLOCK: data follows
+      bb.putShort(size.toShort)
+      bb.putInt(data.length)      // packSize
+      bb.putInt(data.length)      // unpSize (= pack for store)
+      bb.put(3.toByte)            // host: unix
+      val dc = new java.util.zip.CRC32; dc.update(data)
+      bb.putInt(dc.getValue.toInt)
+      bb.putInt(0x50414220)       // fixed DOS mtime: deterministic bytes
+      bb.put(20.toByte)           // unpVer 2.0
+      bb.put(0x30.toByte)         // method: store
+      bb.putShort(nb.length.toShort)
+      bb.putInt(0x81a4)           // attr 0644
+      bb.put(nb)
+      writeBlock(h)
+      bos.write(data)
+    }
+    writeBlock(Array[Byte](0x7b, 0x00, 0x40, 0x07, 0x00)) // end, flags 0x4000
+    bos.toByteArray
+  }
+
   /** Minimal OOXML word document: [Content_Types] manifest + core props +
     * one w:p per paragraph. */
   def renderDocx(title: String, author: String, created: String,

@@ -23,8 +23,8 @@ object Dispatch {
     new UnsupportedExtractor("DjVuIngestor", "Pages",
       "DjVu conversion requires ddjvu; unsupported in this build"),
     PdfExtractor,
-    new UnsupportedExtractor("RARIngestor", "Package",
-      "Could not unpack the contents of this file."),
+    RarExtractor, // store-method + symlink members extracted from headers;
+                  // compressed members skipped (no public codec spec)
     ZipExtractor,
     TarExtractor,
     SevenZipExtractor,

@@ -170,6 +170,10 @@ object QueryLib extends Serializable {
       case "7z" =>
         (s"doc$id.7z", graft.extract.SevenZipWriter.write(
           s"inner$id.txt", text.getBytes("UTF-8")))
+      case "rar" =>
+        (s"doc$id.rar", CorpusGen.renderRar(Seq(
+          "a.txt" -> text.getBytes("UTF-8"),
+          "b.txt" -> s"copy of doc $id".getBytes("UTF-8"))))
       case "rtf" =>
         val esc = text.replace("\\", "\\\\").replace("{", "\\{").replace("}", "\\}")
         val rtf = "{\\rtf1\\ansi{\\fonttbl{\\f0 Helvetica;}}\\f0\\fs24 " +

@@ -250,6 +250,38 @@ class FixtureSpec extends AnyFunSuite {
       "/ingestors/tests/fixtures/secret.txt")
   }
 
+  test("test-documents.rar: RAR4 headers parse, archive succeeds as Package (test_packages.py:34-38)") {
+    assume_("test-documents.rar")
+    val arch = Rar.parse(bytes("test-documents.rar"))
+    assert(arch.version == 4 && !arch.volume && !arch.encryptedHeaders)
+    // member inventory from the fixture's own headers (crc-validated)
+    assert(arch.members.map(m => m.name.replace('\\', '/')) == Vector(
+      "test-documents/testEXCEL.xls", "test-documents/testHTML.html",
+      "test-documents/testOpenOffice2.odt", "test-documents/testPDF.pdf",
+      "test-documents/testPPT.ppt", "test-documents/testRTF.rtf",
+      "test-documents/testTXT.txt", "test-documents/testWORD.doc",
+      "test-documents/testXML.xml"))
+    assert(arch.members.forall(_.method == 0x33)) // LZSS: skipped, no spec
+    val r = RarExtractor.extract(RawDoc("d", "test-documents.rar",
+      "application/rar", bytes("test-documents.rar")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    assert(r.schema == "Package")
+  }
+
+  test("badrar.rar: RAR5 symlink member becomes a file whose body is the target (test_packages.py:40-57)") {
+    assume_("badrar.rar")
+    val r = RarExtractor.extract(RawDoc("d", "badrar.rar",
+      "application/rar", bytes("badrar.rar")))
+    assert(r.status == ExtractionResult.Success, r.error)
+    val child = r.children.find(_.file_name == "secret.txt")
+    assert(child.isDefined, r.children.map(_.file_name))
+    assert(new String(child.get.bytes, "UTF-8") ==
+      "/ingestors/tests/fixtures/secret.txt")
+    // containment: the escape target path is content, never a child path
+    assert(r.children.forall(c => !c.file_name.startsWith("/") &&
+      !c.file_name.contains("..")))
+  }
+
   test("badtar.tar / badrar.rar: escape fixtures stay contained") {
     assume_("badtar.tar")
     val t = TarExtractor.extract(RawDoc("d", "badtar.tar", "application/tar",
