@@ -55,7 +55,9 @@ object Bench {
         org.apache.spark.sql.Encoders.scalaLong)).head()
     Pipeline.run(spark, pending0.limit(2000)).cleanup() // JIT warmup
     var processed = 0L
-    val runs = (1 to 3).map { _ =>
+    // best-of-5 for the headline: this host's hypervisor steal makes
+    // single runs vary up to 1.5x (see BASELINE.md methodology)
+    val runs = (1 to 5).map { _ =>
       val (sec, n) = time {
         val out = Pipeline.run(spark, pending0, Pipeline.Config(),
           initialStats = Some(stats))
@@ -67,6 +69,7 @@ object Bench {
       sec
     }
     val pipeSec = runs.min
+    val runsJson = runs.map(s => f"$s%.3f").mkString("[", ",", "]")
     results += ("pipeline_extract" -> pipeSec)
     val docsPerSec = processed / math.max(pipeSec, 1e-9)
 
@@ -108,7 +111,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_processed":$processed,"docs_per_sec":$docsPerSec%.1f,"cpus":$cpus}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_processed":$processed,"docs_per_sec":$docsPerSec%.1f,"cpus":$cpus,"pipeline_runs":$runsJson}""")
     spark.stop()
   }
 }

@@ -103,10 +103,19 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs with exact-jaccard verification.
     * Input (id: Long, text: String); output (id_a, id_b, jaccard) with
-    * id_a < id_b and jaccard ≥ threshold. */
+    * id_a < id_b and jaccard ≥ threshold.
+    *
+    * `maxBucket` caps the size of any (band, bucket) group before the
+    * self-join: a bucket of b docs contributes b² candidate pairs, so one
+    * pathological bucket (boilerplate-identical pages, which web corpora
+    * always have) turns the join quadratic. Oversized buckets are dropped
+    * whole — the standard web-scale trade (those docs are caught by exact
+    * dedup or by their other, smaller bands). Default = no cap, which is
+    * the exhaustive-oracle behavior; the sf1 soak runs with a cap. */
   def minhashLsh(spark: SparkSession, df: DataFrame, idCol: String,
                  textCol: String, threshold: Double,
-                 params: MinHashParams = MinHashParams()): DataFrame = {
+                 params: MinHashParams = MinHashParams(),
+                 maxBucket: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
     val k = params.numHashes
     val bands = params.bands
@@ -129,6 +138,17 @@ object Dedup {
         }
       }
     }).toDF("band", "bucket", "id")
+      .transform { b =>
+        if (maxBucket == Int.MaxValue) b
+        else {
+          // the count window shuffles on (band, bucket) — the same key the
+          // self-join below needs, so AQE reuses the exchange
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("band", "bucket")
+          b.withColumn("_n", count(lit(1)).over(w))
+            .filter(col("_n") <= maxBucket).drop("_n")
+        }
+      }
 
     // bucket self-join → candidate pairs (dedup across bands).
     // Columns are renamed per side: alias-only self-joins misresolve the
