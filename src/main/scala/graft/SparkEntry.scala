@@ -209,6 +209,24 @@ object SparkEntry {
           col("row_count"), col("body"))
         .orderBy("doc_id")
     }),
+    // Jet4 .mdb roundtrip: from-scratch writer (Jet4Writer) -> Jet reader
+    // -> AccessIngestor rows; pins the Jet4 page/row/TDEF layout the same
+    // way x_pst pins [MS-PST] (no public Jet4 fixture; Books_be.mdb is
+    // Jet3 and covered by FixtureSpec).
+    "x_mdb" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "mdb"))
+      val meta = out.meta.toDF().select(col("doc_id"),
+        QueryLib.prop("rowCount").cast("long").as("row_count"),
+        QueryLib.prop("sheets").as("table_name"))
+      val body = out.spans.toDF().filter(col("kind") === "text")
+        .groupBy(col("doc_id"))
+        .agg(concat_ws(" ", array_sort(collect_list(struct(col("seq"), col("text"))))
+          .getField("text")).as("body"))
+      meta.join(body, "doc_id")
+        .select(col("doc_id").cast("long").as("doc_id"), col("table_name"),
+          col("row_count"), col("body"))
+        .orderBy("doc_id")
+    }),
     "x_xls" -> ((s, dir) => {
       val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "xls"))
       val meta = out.meta.toDF().select(col("doc_id"),
@@ -767,6 +785,12 @@ object SparkEntry {
         |       text AS body
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x_sqlite" ->
+      """SELECT doc_id,
+        |       'docs' AS table_name,
+        |       CAST(ceil(len(string_split(text, ' ')) / 5.0) AS BIGINT) + 1 AS row_count,
+        |       text AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_mdb" ->
       """SELECT doc_id,
         |       'docs' AS table_name,
         |       CAST(ceil(len(string_split(text, ' ')) / 5.0) AS BIGINT) + 1 AS row_count,

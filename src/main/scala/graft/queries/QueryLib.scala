@@ -160,6 +160,9 @@ object QueryLib extends Serializable {
         val rows = text.split(" ").grouped(5).map(_.toSeq).toSeq
         (s"doc$id.sqlite", graft.extract.Sqlite.write("docs",
           (0 until 5).map(i => s"c$i"), rows))
+      case "mdb" =>
+        val rows = text.split(" ").grouped(5).map(_.toSeq).toSeq
+        (s"doc$id.mdb", graft.extract.Jet4Writer.write("docs", 5, rows))
       case "wav" =>
         (s"doc$id.wav", CorpusGen.renderWav(16000, ((id % 100).toInt + 1) * 1000))
       case "mp3" =>
