@@ -92,7 +92,7 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_PIPELINE_ONLY")) Seq.empty[String]
       else Seq("x_html", "x_zip_children", "t_quality",
         "t_token_count", "t_lang_id", "t_minhash_lsh", "t_simhash",
-        "s_ann_brute", "s_ann_lsh", "s_ann_ivf", "a_patterns",
+        "s_ann_brute", "s_ann_lsh", "s_ann_ivf", "s_ann_ivfpq", "a_patterns",
         "a_thread_join")
     for (q <- benchQueries) {
       val fn = SparkEntry.queries(q)

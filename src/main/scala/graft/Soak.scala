@@ -23,10 +23,22 @@ object Soak {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toInt * 2)
+      // finer than the bench's cpus×2: at 4M docs the span-reassembly
+      // aggregation holds per-partition hash state in task memory, and
+      // 64 partitions × ~300 MB state × 32 concurrent tasks blew the
+      // TaskMemoryManager (observed page-alloc failures). 256 partitions
+      // keeps state ~75 MB/task; AQE coalesces the small stages back.
+      .config("spark.sql.shuffle.partitions", math.max(cpus.toInt * 2, 256))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Shuffle files are reclaimed by ContextCleaner only after the JVM
+      // GCs the shuffle-dependency objects; the default periodicGC (30 min)
+      // never fires inside this run, so per-depth shuffle writes accumulate
+      // (~200 GB across 10 depths at 4M docs) and fill the disk. On a real
+      // cluster the external shuffle service + executor turnover bounds
+      // this; in one long-lived local JVM we force the cleanup cadence.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -40,7 +52,12 @@ object Soak {
       val sec = (System.nanoTime() - t0) / 1e9
       peakHeap = math.max(peakHeap, mem.getHeapMemoryUsage.getUsed)
       phases += (name -> sec)
-      System.err.println(f"[soak] $name: $sec%.1f s, heap ${mem.getHeapMemoryUsage.getUsed / (1 << 20)} MiB")
+      val freeG = new java.io.File("/tmp").getUsableSpace / (1L << 30)
+      System.err.println(f"[soak] $name: $sec%.1f s, heap ${mem.getHeapMemoryUsage.getUsed / (1 << 20)} MiB, disk free $freeG GiB")
+      // let ContextCleaner reclaim the finished phase's shuffle files
+      // before the next phase starts writing its own
+      System.gc()
+      Thread.sleep(3000)
       r
     }
 
@@ -62,25 +79,48 @@ object Soak {
 
     // 3. MinHash near-dup over the extracted text bodies, read back from
     // the committed snapshots (kind=text spans, reassembled in seq order).
-    // maxBucket=256 is the web-scale guard: the synthetic corpus repeats
-    // templates, which is exactly the boilerplate-bucket pathology.
+    // Exact→near cascade: identical bodies are collapsed to one
+    // representative per distinct body hash BEFORE the LSH. This is the
+    // web-scale contract — a templated corpus (like this one, and like any
+    // real crawl) has duplicate-body multiplicity m per template, and
+    // feeding them straight to LSH makes the verify join materialize
+    // C(m,2) (text_a, text_b) pairs per template: quadratic shuffle bytes
+    // that filled this host's disk at 4M docs. After the collapse the LSH
+    // only compares distinct bodies; exact-duplicate pairs are implied by
+    // the group multiplicity. maxBucket=256 stays as the guard for
+    // boilerplate buckets among the survivors.
+    var distinctBodies = 0L
     val pairCount = phase("minhash_lsh") {
       val spans = spark.read.parquet(s"$snapDir/depth=*/spans")
-      val texts = spans.filter($"kind" === "text")
+      val bodies = spans.filter($"kind" === "text")
         .groupBy($"doc_id")
         .agg(concat_ws(" ", transform(
           array_sort(collect_list(struct($"seq", $"text"))),
           s => s.getField("text"))).as("body"))
-        .select(xxhash64($"doc_id").as("id"), $"body")
-      Dedup.minhashLsh(spark, texts, "id", "body", 0.8,
-        maxBucket = 256).count()
+      val reps = bodies
+        .groupBy(xxhash64($"body").as("id"))
+        .agg(first($"body").as("body"))
+      distinctBodies = reps.count()
+      // The 100 TB configuration, each knob forced by a measured failure
+      // at 4M docs on this host:
+      //  - star pairing: the all-pairs self-join re-materializes the
+      //    ~280M-row banded exchange on BOTH join sides on top of the
+      //    guard window's sort (measured 75 GB in-flight, disk-full);
+      //    star links reuse the one sorted exchange and emit O(n)/bucket;
+      //  - sig8 verification: exact-verify carries both full texts per
+      //    pair; 8-bit signatures are 256 B per pair;
+      //  - maxBucket=256: boilerplate-bucket guard (quadratic-pair
+      //    insurance even though this corpus's distinct bodies are mostly
+      //    unique — 4.4M of 5.5M — so the pair count stays small).
+      Dedup.minhashLsh(spark, reps, "id", "body", 0.8,
+        maxBucket = 256, verify = "sig8", pairing = "star").count()
     }
 
     val total = phases.values.sum
     val pipeSec = phases("pipeline_durable")
     val qs = phases.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"soak_total","value":$total%.3f,"unit":"sec","phases":$qs,"n_docs":$nDocs,"meta_rows":$metaCount,"dedup_rows":$dedupCount,"neardup_pairs":$pairCount,"docs_per_sec":${metaCount / math.max(pipeSec, 1e-9)}%.1f,"pending_partitions":$parts,"shuffle_partitions":${cpus.toInt * 2},"peak_heap_mib":${peakHeap / (1 << 20)},"cpus":$cpus}""")
+    println(f"""{"metric":"soak_total","value":$total%.3f,"unit":"sec","phases":$qs,"n_docs":$nDocs,"meta_rows":$metaCount,"dedup_rows":$dedupCount,"distinct_bodies":$distinctBodies,"neardup_pairs":$pairCount,"docs_per_sec":${metaCount / math.max(pipeSec, 1e-9)}%.1f,"pending_partitions":$parts,"shuffle_partitions":${math.max(cpus.toInt * 2, 256)},"peak_heap_mib":${peakHeap / (1 << 20)},"cpus":$cpus}""")
     spark.stop()
   }
 }

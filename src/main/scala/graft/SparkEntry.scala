@@ -379,6 +379,28 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
         .orderBy("doc_id")),
+    // Connected components over a deterministic chain graph (doc links to
+    // doc+1 except across decade boundaries): pins the iterative min-label
+    // propagation — chains need ~9 propagation rounds, so the loop (and its
+    // convergence early-exit) is genuinely exercised, not just one round.
+    "t_dedup_clusters" -> ((s, dir) => {
+      val docs = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long").as("id"))
+      val links = docs.toDF("id_a")
+        .join(docs.toDF("id_b"), col("id_b") === col("id_a") + 1)
+        .filter(col("id_a") % 10 =!= 9)
+        .select(col("id_a"), col("id_b"))
+      val comp = graft.ops.Dedup.connectedComponents(s, links)
+      docs.join(comp, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+        .orderBy("id")
+    }),
+    // Gopher repetition filters (Rae et al. 2021): duplicate-line /
+    // duplicate-trigram / top-bigram fractions as integer milli-ratios
+    "t_repetition" -> ((s, dir) => {
+      TextOps.repetitionStats(s, QueryLib.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "t_quality" -> ((s, dir) => {
       val cols = TextOps.qualityColumns(col("text"))
         .map { case (n, c) => c.as(n) }
@@ -473,6 +495,20 @@ object SparkEntry {
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("embedding"), x => x * 2.0f).as("embedding"))
       Similarity.ivfTopK(s, emb, planted, "vec_id", "embedding", 5)
+        .filter(col("rank") === 1)
+        .select(col("qid"), col("cid"))
+        .orderBy("qid")
+    }),
+    // IVF-PQ variant (Jégou et al. IVFADC): same planted gate — the ×2.0f
+    // query normalizes to the original's exact unit vector, so it shares
+    // the original's cell, the original tops the ADC shortlist, and the
+    // exact rescore pins rank-1 (sim 1.0) deterministically.
+    "s_ann_ivfpq" -> ((s, dir) => {
+      val emb = QueryLib.embeddings(s, dir)
+      val planted = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * 2.0f).as("embedding"))
+      Similarity.ivfPqTopK(s, emb, planted, "vec_id", "embedding", 5)
         .filter(col("rank") === 1)
         .select(col("qid"), col("cid"))
         .orderBy("qid")
@@ -881,6 +917,47 @@ object SparkEntry {
         |       CAST(len(list_filter(string_split_regex(text, '\s+'),
         |                            x -> len(x) > 0)) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_dedup_clusters" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |m AS (SELECT id,
+        |        CASE WHEN id % 10 = 0
+        |               OR lag(id) OVER (ORDER BY id) IS DISTINCT FROM id - 1
+        |             THEN id END AS run_start
+        |      FROM d)
+        |SELECT id,
+        |       max(run_start) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING)
+        |         AS component
+        |FROM m ORDER BY id""".stripMargin,
+    "t_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lines,
+        |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lines, toks,
+        |         list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i+1]) AS bgs,
+        |         list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tgs
+        |  FROM t),
+        |bi AS (
+        |  SELECT doc_id, bg, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(bgs) AS bg FROM g) GROUP BY doc_id, bg),
+        |bm AS (SELECT doc_id, max(cnt) AS maxf FROM bi GROUP BY doc_id)
+        |SELECT g.doc_id AS doc_id,
+        |       CAST(len(lines) AS BIGINT) AS n_lines,
+        |       CAST(CASE WHEN len(lines) > 0 THEN
+        |         (len(lines) - len(list_distinct(lines))) * 1000 // len(lines)
+        |         ELSE 0 END AS BIGINT) AS dup_line_ratio_milli,
+        |       CAST(CASE WHEN len(tgs) > 0 THEN
+        |         (len(tgs) - len(list_distinct(tgs))) * 1000 // len(tgs)
+        |         ELSE 0 END AS BIGINT) AS dup_trigram_ratio_milli,
+        |       CAST(CASE WHEN len(bgs) > 0 THEN
+        |         coalesce(bm.maxf, 0) * 1000 // len(bgs)
+        |         ELSE 0 END AS BIGINT) AS top_bigram_ratio_milli
+        |FROM g LEFT JOIN bm ON g.doc_id = bm.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "t_quality" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -985,6 +1062,9 @@ object SparkEntry {
       """SELECT vec_id + 1000000 AS qid, vec_id AS cid FROM embeddings
         |WHERE vec_id < 100 ORDER BY qid""".stripMargin,
     "s_ann_ivf" ->
+      """SELECT vec_id + 1000000 AS qid, vec_id AS cid FROM embeddings
+        |WHERE vec_id < 100 ORDER BY qid""".stripMargin,
+    "s_ann_ivfpq" ->
       """SELECT vec_id + 1000000 AS qid, vec_id AS cid FROM embeddings
         |WHERE vec_id < 100 ORDER BY qid""".stripMargin,
     "s_ann_brute" ->

@@ -111,11 +111,32 @@ object Dedup {
     * always have) turns the join quadratic. Oversized buckets are dropped
     * whole — the standard web-scale trade (those docs are caught by exact
     * dedup or by their other, smaller bands). Default = no cap, which is
-    * the exhaustive-oracle behavior; the sf1 soak runs with a cap. */
+    * the exhaustive-oracle behavior; the sf1 soak runs with a cap.
+    *
+    * Scale contract: run exact dedup (collapse identical bodies to one
+    * representative, e.g. groupBy xxhash64(body)) BEFORE calling this.
+    * Identical texts all land in the same buckets, so m copies of one
+    * template cost C(m,2) verify pairs each carrying both full texts —
+    * quadratic shuffle bytes the LSH cannot amortize. After the collapse
+    * exact-duplicate pairs are implied by group multiplicity and the LSH
+    * only pays for genuinely-distinct near-duplicates (see graft.Soak).
+    *
+    * `verify`: "exact" (default) joins texts back and computes true
+    * Jaccard — the oracle-grade mode; "sig8" verifies from 8-bit minhash
+    * signatures (256 bytes per pair, no text ever rides the pair join) —
+    * the 100 TB mode when near-dup density makes the pair count itself
+    * quadratic-ish (see the sig8 branch comment for the estimator).
+    *
+    * `pairing`: "all" (default) enumerates every in-bucket pair — the
+    * oracle-grade contract; "star" links members to the bucket's min-id
+    * representative only (O(n) per bucket vs O(n²)) — the corpus-dedup
+    * contract, where downstream union-find over links recovers clusters. */
   def minhashLsh(spark: SparkSession, df: DataFrame, idCol: String,
                  textCol: String, threshold: Double,
                  params: MinHashParams = MinHashParams(),
-                 maxBucket: Int = Int.MaxValue): DataFrame = {
+                 maxBucket: Int = Int.MaxValue,
+                 verify: String = "exact",
+                 pairing: String = "all"): DataFrame = {
     import spark.implicits._
     val k = params.numHashes
     val bands = params.bands
@@ -123,19 +144,24 @@ object Dedup {
     val shingleN = params.shingleSize
 
     val docs = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-    // signature + band keys per doc (narrow stage)
-    val banded = docs.mapPartitions(_.flatMap { case (id, text) =>
+    // full signature per doc (narrow stage); bands derive from it below.
+    // A function VAL (not a local def): defs lift into the enclosing
+    // method's environment and drag the SparkSession into the closure.
+    val sigOf: String => Array[Long] = { text =>
       val toks = graft.core.TextUtil.tokens(text).toIndexedSeq
       val sh = TextOps.shingles(toks, shingleN)
-      if (sh.isEmpty) Iterator.empty
-      else {
-        val sig = minhashSignature(sh.iterator.map(hashToken).toIterable, k)
-        (0 until bands).iterator.map { b =>
-          var h = 1125899906842597L ^ b
-          var r = 0
-          while (r < rows) { h = h * 1000003L + sig(b * rows + r); r += 1 }
-          (b, h, id)
-        }
+      if (sh.isEmpty) null
+      else minhashSignature(sh.iterator.map(hashToken).toIterable, k)
+    }
+    // band keys per doc
+    val banded = docs.mapPartitions(_.flatMap { case (id, text) =>
+      val sig = sigOf(text)
+      if (sig == null) Iterator.empty
+      else (0 until bands).iterator.map { b =>
+        var h = 1125899906842597L ^ b
+        var r = 0
+        while (r < rows) { h = h * 1000003L + sig(b * rows + r); r += 1 }
+        (b, h, id)
       }
     }).toDF("band", "bucket", "id")
       .transform { b =>
@@ -150,30 +176,89 @@ object Dedup {
         }
       }
 
-    // bucket self-join → candidate pairs (dedup across bands).
-    // Columns are renamed per side: alias-only self-joins misresolve the
-    // l/r attributes (same attribute ids on both sides).
-    val lSide = banded.toDF("band", "bucket", "id_a")
-    val rSide = banded.toDF("band", "bucket", "id_b")
-    val candidates = lSide.join(rSide, Seq("band", "bucket"))
-      .filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b")
-      .distinct()
+    val candidates = pairing match {
+      case "all" =>
+        // bucket self-join → ALL candidate pairs (dedup across bands).
+        // Columns are renamed per side: alias-only self-joins misresolve
+        // the l/r attributes (same attribute ids on both sides).
+        val lSide = banded.toDF("band", "bucket", "id_a")
+        val rSide = banded.toDF("band", "bucket", "id_b")
+        lSide.join(rSide, Seq("band", "bucket"))
+          .filter($"id_a" < $"id_b")
+          .select($"id_a", $"id_b")
+          .distinct()
+      case "star" =>
+        // link every bucket member to the bucket's min id — O(n) rows per
+        // bucket instead of the self-join's O(n²), on the SAME
+        // (band, bucket) exchange the guard window sorted. Near-identical
+        // template groups agree on most of their bands, so all-pairs
+        // materializes ~b·n²/2 pre-distinct rows per group (measured 75 GB
+        // of shuffle at 4M docs); the star links are b·n and still connect
+        // every cluster transitively — the corpus-dedup contract
+        // (union-find over links), not the enumerate-every-pair contract.
+        // Recall note: a member is kept only if it verifies against the
+        // cluster REPRESENTATIVE (single-link star) — the standard trade.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bucket")
+        banded.withColumn("rep", min(col("id")).over(w))
+          .filter(col("id") =!= col("rep"))
+          .select(col("rep").as("id_a"), col("id").as("id_b"))
+          .distinct()
+      case other =>
+        throw new IllegalArgumentException(s"pairing mode: $other")
+    }
 
-    // exact verify: join text back, compute true jaccard
-    val texts = docs.toDF("id", "text")
-    candidates
-      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
-      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
-      .select($"id_a", $"id_b", $"text_a", $"text_b") // USING joins reorder columns
-      .as[(Long, Long, String, String)]
-      .mapPartitions(_.map { case (a, b, ta, tb) =>
-        val sa = TextOps.shingles(graft.core.TextUtil.tokens(ta).toIndexedSeq, shingleN)
-        val sb = TextOps.shingles(graft.core.TextUtil.tokens(tb).toIndexedSeq, shingleN)
-        (a, b, jaccard(sa, sb))
-      })
-      .toDF("id_a", "id_b", "jaccard")
-      .filter($"jaccard" >= threshold)
+    verify match {
+      case "exact" =>
+        // exact verify: join text back, compute true jaccard
+        val texts = docs.toDF("id", "text")
+        candidates
+          .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+          .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+          .select($"id_a", $"id_b", $"text_a", $"text_b") // USING joins reorder columns
+          .as[(Long, Long, String, String)]
+          .mapPartitions(_.map { case (a, b, ta, tb) =>
+            val sa = TextOps.shingles(graft.core.TextUtil.tokens(ta).toIndexedSeq, shingleN)
+            val sb = TextOps.shingles(graft.core.TextUtil.tokens(tb).toIndexedSeq, shingleN)
+            (a, b, jaccard(sa, sb))
+          })
+          .toDF("id_a", "id_b", "jaccard")
+          .filter($"jaccard" >= threshold)
+
+      case "sig8" =>
+        // b-bit minhash verification (Li & König, "b-Bit Minwise Hashing",
+        // WWW 2010): verify candidates from the low 8 bits of each of the
+        // k minhash components — 256 bytes per PAIR instead of both full
+        // texts. At web scale the exact-verify join's payload is quadratic
+        // in the near-dup density (templated corpora: tens of GB of text
+        // riding the pair join — measured filling this host's disk at 4M
+        // docs), while sig8 is O(k) per pair with std-err ≈ √(J(1-J)/k)
+        // ≈ 0.035 at k=128, J=0.8. Estimator: Ĵ = (f − 1/256)/(1 − 1/256)
+        // where f = matching-byte fraction.
+        val sig8s = docs.mapPartitions(_.flatMap { case (id, text) =>
+          val sig = sigOf(text)
+          if (sig == null) Iterator.empty
+          else Iterator.single((id, sig.map(v => (v & 0xff).toByte)))
+        }).toDF("id", "sig")
+        candidates
+          .join(sig8s.toDF("id_a", "sig_a"), "id_a")
+          .join(sig8s.toDF("id_b", "sig_b"), "id_b")
+          .select($"id_a", $"id_b", $"sig_a", $"sig_b")
+          .as[(Long, Long, Array[Byte], Array[Byte])]
+          .mapPartitions(_.map { case (a, b, sa, sb) =>
+            var m = 0; var i = 0
+            val n = math.min(sa.length, sb.length)
+            while (i < n) { if (sa(i) == sb(i)) m += 1; i += 1 }
+            val f = if (n > 0) m.toDouble / n else 0.0
+            val est = math.max(0.0, (f - 1.0 / 256) / (1 - 1.0 / 256))
+            (a, b, est)
+          })
+          .toDF("id_a", "id_b", "jaccard")
+          .filter($"jaccard" >= threshold)
+
+      case other =>
+        throw new IllegalArgumentException(s"verify mode: $other")
+    }
   }
 
   /** Exhaustive n-gram-Jaccard pairs via shingle explode + equi-join —
@@ -286,5 +371,94 @@ object Dedup {
       .withColumn("cosine", Similarity.cosineCol($"v_a", $"v_b"))
       .filter($"cosine" >= threshold)
       .select($"id_a", $"id_b", $"cosine")
+  }
+
+  /** End-to-end corpus near-dedup — the composition a training-data
+    * pipeline actually runs, each stage in its 100 TB shape:
+    *
+    *  1. exact collapse: identical bodies → one representative
+    *     (groupBy body hash, min id) — removes duplicate-multiplicity
+    *     before anything quadratic-ish can see it;
+    *  2. [[minhashLsh]] over the representatives with star pairing +
+    *     sig8 verification — near-dup LINKS, O(n) per bucket;
+    *  3. [[connectedComponents]] — links → cluster labels;
+    *  4. every id maps back through its body representative to the
+    *     cluster's min id.
+    *
+    * Output: (id, representative, keep) — `keep` marks the one survivor
+    * per near-dup cluster (the min id); filter on it to dedup. */
+  def dedupCorpus(spark: SparkSession, df: DataFrame, idCol: String,
+                  textCol: String, threshold: Double = 0.8,
+                  params: MinHashParams = MinHashParams(),
+                  maxBucket: Int = 256): DataFrame = {
+    import spark.implicits._
+    val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val withHash = docs.withColumn("h", xxhash64(col("text")))
+    // body-representative per distinct text; text never rides this join —
+    // ids regroup on the 8-byte hash only
+    val bodyRep = withHash.groupBy("h").agg(min(col("id")).as("rep"))
+    val idToRep = withHash.select(col("id"), col("h"))
+      .join(bodyRep, "h").select(col("id"), col("rep"))
+    val reps = withHash.join(bodyRep.withColumnRenamed("rep", "id"), Seq("h", "id"))
+      .select(col("id"), col("text"))
+    val links = minhashLsh(spark, reps, "id", "text", threshold, params,
+      maxBucket = maxBucket, verify = "sig8", pairing = "star")
+      .select(col("id_a"), col("id_b"))
+    val comp = connectedComponents(spark, links)
+    idToRep
+      .join(comp.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("rep")).as("representative"))
+      .withColumn("keep", col("id") === col("representative"))
+  }
+
+  /** Connected components over undirected (id_a, id_b) link rows — the
+    * union-find step that turns near-dup PAIRS (from [[minhashLsh]] /
+    * [[embeddingDups]], esp. star pairing) into dedup CLUSTERS: output
+    * (id, component) with component = min id reachable. Iterative
+    * min-label propagation (the MapReduce-CC family, Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014 — the
+    * simple hash-join variant, not Pregel):
+    *
+    *  - one hash shuffle per iteration on the node id, candidate labels
+    *    combined map-side (groupBy min is partial-aggregated);
+    *  - converges in O(component diameter) iterations — star pairing
+    *    keeps diameters small by construction (every bucket is a star);
+    *  - per-iteration `localCheckpoint` truncates the growing plan
+    *    lineage (driver-side planning is the scale hazard in iterative
+    *    DataFrame jobs, same trick as Pipeline.run's per-depth cut);
+    *  - early-exits when an iteration changes no label (one count per
+    *    iteration — the convergence check IS the job).
+    */
+  def connectedComponents(spark: SparkSession, links: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    import spark.implicits._
+    val edges = links.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+    val undirected = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = undirected.select(col("src").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbor = undirected
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .unionByName(viaNeighbor)
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      val changed = next.toDF("id", "c2").join(labels, "id")
+        .filter(col("c2") =!= col("component")).limit(1).count()
+      converged = changed == 0L
+      labels = next
+      iter += 1
+    }
+    labels
   }
 }

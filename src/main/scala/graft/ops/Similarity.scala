@@ -236,4 +236,210 @@ object Similarity {
       .distinct()
     rescoreTopK(corpus, queries, idCol, vecCol, cands, k)
   }
+
+  // ---- IVF-PQ (inverted file + product quantization) -----------------------
+
+  private[ops] def l2normalize(v: Array[Double]): Array[Double] = {
+    var n = 0.0
+    var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    val inv = if (n > 0) 1.0 / math.sqrt(n) else 0.0
+    v.map(_ * inv)
+  }
+
+  /** Plain (non-spherical) L2 k-means for PQ codebook training — residual
+    * subvectors are not unit vectors, so the spherical update is wrong for
+    * them. Deterministic: seeded init, empty clusters keep their centroid. */
+  private[ops] def kmeansPlain(sample: Array[Array[Double]], k0: Int,
+                               iters: Int, seed: Long): Array[Array[Double]] = {
+    if (sample.isEmpty) return Array(Array(0.0))
+    val k = math.max(1, math.min(k0, sample.length))
+    val d = sample(0).length
+    val rng = new graft.corpus.CorpusGen.Rng(seed)
+    val cents = Array.tabulate(k)(_ =>
+      sample(((rng.nextLong() >>> 1) % sample.length).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      for (v <- sample) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          var dist = 0.0; var i = 0
+          while (i < d) { val t = v(i) - cents(c)(i); dist += t * t; i += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < d) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < d) { cents(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Nearest-codeword index per subspace (m bytes per vector). */
+  private[ops] def pqEncode(res: Array[Double],
+                            books: Array[Array[Array[Double]]]): Array[Byte] = {
+    val m = books.length
+    val code = new Array[Byte](m)
+    val dsub = if (m == 0) 0 else res.length / m
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      val off = s * dsub
+      var best = 0; var bestD = Double.MaxValue; var j = 0
+      while (j < book.length) {
+        var dist = 0.0; var i = 0
+        while (i < dsub) { val t = res(off + i) - book(j)(i); dist += t * t; i += 1 }
+        if (dist < bestD) { bestD = dist; best = j }
+        j += 1
+      }
+      code(s) = best.toByte
+      s += 1
+    }
+    code
+  }
+
+  /** IVF-PQ top-k — the memory-bounded 100 TB ANN shape (Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011; the
+    * IVFADC recipe FAISS popularized):
+    *
+    *  - vectors are unit-normalized once (inner product = cosine), coarse
+    *    spherical-k-means cells as in [[ivfTopK]];
+    *  - each corpus vector is stored as its cell id + an `m`-byte PQ code
+    *    of its **residual** (v − centroid): at dim 64 that is 8 bytes in
+    *    the inverted lists instead of 512 — the whole point at 100 TB,
+    *    where the float vectors dominate corpus bytes and must not ride
+    *    the candidate join;
+    *  - queries probe `nProbe` cells; scoring is ADC — per query one
+    *    `m × ksub` lookup table of subspace dot products, so a candidate
+    *    costs m table adds, no vector fetch;
+    *  - the per-query ADC top-(`refine`·k) shortlist is exact-rescored
+    *    (one id-join to fetch the shortlist's true vectors) so the output
+    *    contract matches the other ANN variants: (qid, rank, cid, sim_r6).
+    *
+    * Training (coarse + codebooks) runs on a bounded `sampleN` driver
+    * sample — the standard recipe; everything distributed is one narrow
+    * encode pass + an equi-join on the cell id carrying only
+    * (qid, cid, m bytes). */
+  def ivfPqTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                nCells: Int = 64, nProbe: Int = 4, m: Int = 8,
+                ksub: Int = 256, sampleN: Int = 2048, iters: Int = 8,
+                refine: Int = 4,
+                seed: Long = 0x9e3779b97f4a7c15L): DataFrame = {
+    import spark.implicits._
+    require(m > 0 && ksub > 1 && ksub <= 256, "PQ codes are 1 byte per subspace")
+
+    val sample = corpus.select(col(vecCol).cast("array<double>"))
+      .limit(sampleN).as[Array[Double]].collect()
+      .map(l2normalize).filter(_.exists(_ != 0.0))
+    val centroids = trainCentroids(sample, nCells, iters, seed)
+    val residuals = sample.map { v =>
+      val cell = nearestCells(v, centroids, 1)(0)
+      val c = centroids(cell)
+      Array.tabulate(v.length)(i => v(i) - (if (i < c.length) c(i) else 0.0))
+    }
+    val dim = if (sample.isEmpty) 0 else sample(0).length
+    val dsub = math.max(1, dim / math.min(m, math.max(1, dim)))
+    val mEff = if (dim == 0) 1 else dim / dsub
+    val books = Array.tabulate(mEff) { s =>
+      kmeansPlain(residuals.map(_.slice(s * dsub, (s + 1) * dsub)),
+        ksub, iters, seed ^ (0x9e3779b97f4a7c15L * (s + 1)))
+    }
+    val bModel = spark.sparkContext.broadcast((centroids, books))
+
+    // inverted lists: (cid, cell, m-byte code) — one narrow encode pass
+    val codes = corpus
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (cs, bks) = bModel.value
+        it.map { case (id, v0) =>
+          val v = l2normalize(v0)
+          val cell = nearestCells(v, cs, 1)(0)
+          val c = cs(cell)
+          val res = Array.tabulate(v.length)(i =>
+            v(i) - (if (i < c.length) c(i) else 0.0))
+          (id, cell, pqEncode(res, bks))
+        }
+      }.toDF("cid", "cell", "code")
+
+    // query side: (qid, cell) probe rows + a broadcast qid→unit-vector map
+    // (the query set is the small side by contract, as in bruteForceTopK)
+    val qvecs = queries
+      .select(col(idCol).cast("long").as("qid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    val qmap = spark.sparkContext.broadcast(
+      qvecs.collect().map { case (id, v) => id -> l2normalize(v) }.toMap)
+    val qcells = qvecs.mapPartitions { it =>
+      val (cs, _) = bModel.value
+      it.flatMap { case (id, v) =>
+        nearestCells(l2normalize(v), cs, nProbe).iterator.map(c => (id, c))
+      }
+    }.toDF("qid", "cell")
+
+    // ADC scoring: per (qid) one m×ksub LUT of subspace dots, built lazily
+    // per partition; approx = dot(q, centroid_cell) + Σ_s LUT(s)(code_s)
+    val scored = codes.join(qcells, Seq("cell"))
+      .filter($"qid" =!= $"cid")
+      .select($"qid", $"cell", $"cid", $"code")
+      .as[(Long, Int, Long, Array[Byte])]
+      .mapPartitions { it =>
+        val (cs, bks) = bModel.value
+        val qs = qmap.value
+        val luts = scala.collection.mutable.HashMap.empty[Long, Array[Array[Double]]]
+        val qdotc = scala.collection.mutable.HashMap.empty[(Long, Int), Double]
+        it.map { case (qid, cell, cid, code) =>
+          val q = qs(qid)
+          val lut = luts.getOrElseUpdate(qid, {
+            Array.tabulate(bks.length) { s =>
+              val off = s * (q.length / bks.length)
+              bks(s).map { cw =>
+                var dot = 0.0; var i = 0
+                while (i < cw.length && off + i < q.length) {
+                  dot += q(off + i) * cw(i); i += 1
+                }
+                dot
+              }
+            }
+          })
+          val base = qdotc.getOrElseUpdate((qid, cell), {
+            val c = cs(cell)
+            var dot = 0.0; var i = 0
+            while (i < c.length && i < q.length) { dot += q(i) * c(i); i += 1 }
+            dot
+          })
+          var approx = base
+          var s = 0
+          while (s < code.length && s < lut.length) {
+            approx += lut(s)(code(s) & 0xff); s += 1
+          }
+          (qid, cid, approx)
+        }
+      }.toDF("qid", "cid", "approx")
+
+    // ADC shortlist → exact rescore (dedup across probes first: a candidate
+    // can surface from several probed cells with the same approx score)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("approx").desc, col("cid").asc)
+    val cands = scored
+      .groupBy($"qid", $"cid").agg(max($"approx").as("approx"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= math.max(refine * k, 32))
+      .select($"qid", $"cid")
+    rescoreTopK(corpus, queries, idCol, vecCol, cands, k)
+  }
 }

@@ -49,6 +49,60 @@ object TextOps {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on",
     "for", "with", "as", "at", "by", "that", "this", "be", "are")
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 "repetitious
+    * text" filters, public): duplicate-line fraction, duplicate-trigram
+    * fraction, and the most-frequent-bigram fraction, as integer
+    * milli-ratios for engine-portable exactness.
+    *
+    * Output: (id, n_lines, dup_line_ratio_milli, dup_trigram_ratio_milli,
+    * top_bigram_ratio_milli). Lines are non-empty `\n` segments; tokens
+    * are whitespace runs (same split as [[tokenize]]).
+    *
+    * Scale shape: one narrow mapPartitions, O(tokens) per document with a
+    * per-doc hash map — NOT a higher-order-function column (those are
+    * O(n²) for count-distinct-style signals and fall out of codegen
+    * anyway). Nothing shuffles; at 100 TB this fuses with the scan. */
+  def repetitionStats(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                      idCol: String, textCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text0) =>
+        val text = if (text0 == null) "" else text0
+        val lines = text.split('\n').iterator.filter(_.nonEmpty).toArray
+        val nLines = lines.length
+        val dupLines = nLines - lines.distinct.length
+        val toks = text.split("""\s+""").filter(_.nonEmpty)
+        def ngramStats(n: Int): (Int, Int, Int) = {
+          // (count, distinct, maxFreq) over n-grams
+          val total = math.max(0, toks.length - n + 1)
+          if (total == 0) (0, 0, 0)
+          else {
+            val freq = new java.util.HashMap[String, Int]()
+            var maxF = 0
+            var i = 0
+            while (i < total) {
+              val g = toks.slice(i, i + n).mkString(" ")
+              val f = freq.merge(g, 1, (a, b) => a + b)
+              if (f > maxF) maxF = f
+              i += 1
+            }
+            (total, freq.size, maxF)
+          }
+        }
+        val (tri, triDistinct, _) = ngramStats(3)
+        val (bi, _, biMax) = ngramStats(2)
+        def milli(num: Long, den: Long): Long =
+          if (den > 0) num * 1000L / den else 0L
+        (id, nLines.toLong,
+          milli(dupLines.toLong, nLines.toLong),
+          milli((tri - triDistinct).toLong, tri.toLong),
+          milli(biMax.toLong, bi.toLong))
+      })
+      .toDF(idCol, "n_lines", "dup_line_ratio_milli",
+        "dup_trigram_ratio_milli", "top_bigram_ratio_milli")
+  }
+
   /** Language ID over 26 languages: script vote + Cavnar–Trenkle trigram
     * profiles (see [[LangId]]), standing in for the reference's fastText
     * lid.176 call at `/root/reference/ingestors/analysis/language.py:10-26`.

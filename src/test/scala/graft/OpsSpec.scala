@@ -103,6 +103,62 @@ class OpsSpec extends AnyFunSuite {
     assert((brute & lsh).size >= 5, s"recall too low: ${(brute & lsh).size}/25")
   }
 
+  test("minhash sig8 verify agrees with exact on planted near-dups") {
+    val rng = new graft.corpus.CorpusGen.Rng(29)
+    val words = (0 until 400).map(i => s"w$i")
+    val base = (0L until 30L).map { i =>
+      (i, Seq.tabulate(60)(j => words(((rng.nextLong() >>> 1) % 400).toInt)).mkString(" "))
+    }
+    // near-dups: replace the last 3 of 60 tokens (~Jaccard ≈ 0.9)
+    val nears = base.map { case (i, t) =>
+      (i + 1000L, t.split(" ").dropRight(3).mkString(" ") + " zz1 zz2 zz3")
+    }
+    val df = (base ++ nears).toDF("id", "text")
+    def pairs(mode: String) =
+      Dedup.minhashLsh(spark, df, "id", "text", 0.5, verify = mode)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("exact")
+    val sig8 = pairs("sig8")
+    val planted = base.map { case (i, _) => (i, i + 1000L) }.toSet
+    assert((planted -- exact).isEmpty, s"exact missed ${planted -- exact}")
+    // sig8 is an estimator: at threshold 0.5 vs true J≈0.9 it must keep
+    // every planted pair; spurious extras would signal a broken estimator
+    assert((planted -- sig8).isEmpty, s"sig8 missed ${planted -- sig8}")
+    assert((sig8 -- exact).isEmpty, s"sig8 spurious ${sig8 -- exact}")
+    // star pairing: every planted near-dup still links to its (min-id)
+    // partner — each 2-cluster's representative is the base doc
+    val star = Dedup.minhashLsh(spark, df, "id", "text", 0.5,
+        verify = "sig8", pairing = "star")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((planted -- star).isEmpty, s"star missed ${planted -- star}")
+  }
+
+  test("dedupCorpus: exact dups + near dups collapse to one survivor") {
+    val t1 = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val t1near = t1.split(" ").dropRight(3).mkString(" ") + " aa bb cc"
+    val other = (100 until 160).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, t1), (2L, t1), (3L, t1near), (4L, other))
+      .toDF("doc_id", "body")
+    val got = Dedup.dedupCorpus(spark, df, "doc_id", "body", 0.5)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(1L) == ((1L, true)), got)
+    assert(got(2L) == ((1L, false)), got)
+    assert(got(3L) == ((1L, false)), got)
+    assert(got(4L) == ((4L, true)), got)
+  }
+
+  test("connected components: chains, stars, and cross-links converge to min id") {
+    // chain 1-2-3-4, star 10-{11,12,13}, bridge 4-10 => all one component (1);
+    // separate pair 20-21 => component 20
+    val links = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (13L, 10L), (4L, 10L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(spark, links)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 4L).forall(got(_) == 1L), got)
+    assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 1L), got)
+    assert(got(20L) == 20L && got(21L) == 20L, got)
+  }
+
   test("embedding dedup: banded plan finds planted pairs, no cartesian join") {
     val rng = new graft.corpus.CorpusGen.Rng(11)
     val vecs = (0L until 100L).map(i =>
@@ -157,10 +213,63 @@ class OpsSpec extends AnyFunSuite {
       cellJoin)
   }
 
+  test("ivf-pq ANN: planted clusters recovered, candidate join carries codes not vectors") {
+    val rng = new graft.corpus.CorpusGen.Rng(19)
+    // 4 well-separated direction clusters in 16d
+    val vecs = (0L until 120L).map { i =>
+      val base = new Array[Float](16)
+      base((i % 4).toInt * 4) = 1.0f
+      (i, base.map(x => x + rng.nextDouble().toFloat * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 4)
+    val out = Similarity.ivfPqTopK(spark, vecs, q, "vec_id", "embedding", 5,
+      nCells = 4, nProbe = 1, m = 4, ksub = 16, sampleN = 120)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (qid, cid) => qid % 4 == cid % 4 }, rows.take(10))
+    // the cell equi-join must carry the m-byte PQ code, never a vector
+    val plan = out.queryExecution.executedPlan.toString
+    val cellJoin = plan.linesIterator
+      .filter(l => l.contains("Join") && l.contains("cell")).mkString("\n")
+    assert(cellJoin.nonEmpty && !cellJoin.contains("cv") && !cellJoin.contains("qv"),
+      cellJoin)
+  }
+
+  test("ivf-pq ADC ranks a self-query's own vector first") {
+    val rng = new graft.corpus.CorpusGen.Rng(23)
+    val vecs = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rng.nextDouble().toFloat))).toDF("vec_id", "embedding")
+    // ×2-scaled copies of 5 vectors: unit-identical → rank-1 must be the original
+    val q = vecs.filter($"vec_id" < 5)
+      .select(($"vec_id" + 1000L).as("vec_id"),
+        org.apache.spark.sql.functions.transform($"embedding",
+          x => x * 2.0f).as("embedding"))
+    val out = Similarity.ivfPqTopK(spark, vecs, q, "vec_id", "embedding", 3,
+      nCells = 8, nProbe = 2, m = 4, ksub = 32, sampleN = 200)
+    val rank1 = out.filter($"rank" === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    (0L until 5L).foreach(i => assert(rank1(i + 1000L) == i, s"query $i"))
+  }
+
   test("language id: distinctive marker words win; short text is und") {
     assert(TextOps.detectLanguage("der hund ist nicht in das haus und der garten") == "de")
     assert(TextOps.detectLanguage("le chat est dans la maison et le jardin") == "fr")
     assert(TextOps.detectLanguage("x") == "und")
+  }
+
+  test("repetition stats: hand-computed duplicate-line/ngram fractions") {
+    val text = "spam ham spam ham spam ham\nunique line\nunique line"
+    // lines: 3 non-empty, dup 1 → 333; toks span lines: 10 tokens
+    // trigrams (8): [shs, hsh, shs, hsh, shu, hul, ulu, lul] → distinct 6,
+    //   dup 2/8 → 250
+    // bigrams (9): top "spam ham" ×3 / 9 → 333
+    val df = Seq((1L, text), (2L, "one two three four"), (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(spark, df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == ((3L, 333L, 250L, 333L)), got(1L))
+    assert(got(2L) == ((1L, 0L, 0L, 333L)), got(2L)) // 3 distinct bigrams, max 1/3
+    assert(got(3L) == ((0L, 0L, 0L, 0L)))
   }
 
   test("fingerprint is deterministic and order-sensitive") {
