@@ -120,6 +120,33 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming content dedup — first occurrence of each content hash
+    * passes, replays and later duplicates are dropped across micro-batch
+    * boundaries (state lives in the checkpoint). This is the streaming
+    * analogue of [[graft.pipeline.Pipeline.dedupByContent]] / the
+    * reference's content-hash conversion+OCR caches
+    * (`support/convert.py:27-45`).
+    *
+    * Scale contract: with `eventTimeCol`+`delay` the built-in
+    * `dropDuplicatesWithinWatermark` bounds the state store — expired
+    * hashes age out, which is the only sane shape for an unbounded
+    * 100 TB/day stream (a re-crawl after the horizon re-extracts, exactly
+    * like an evicted cache entry). Without a watermark the state grows
+    * with distinct hashes — fine for bounded backfills only. */
+  def dedupByContentStream(docs: DataFrame,
+                           eventTimeCol: Option[String] = None,
+                           delay: String = "24 hours"): DataFrame = {
+    val hashed = docs.withColumn("content_hash",
+      sha1(coalesce(col("bytes"), lit(Array.empty[Byte]))))
+    eventTimeCol match {
+      case Some(ts) =>
+        hashed.withColumn(ts, col(ts).cast("timestamp"))
+          .withWatermark(ts, delay)
+          .dropDuplicatesWithinWatermark("content_hash")
+      case None => hashed.dropDuplicates("content_hash")
+    }
+  }
+
   /** Watermarked per-ingestion-window metrics — the streaming analogue of
     * the reference's Prometheus counters (`manager.py:29-65`): counts and
     * bytes per event type in sliding windows, late data bounded by the

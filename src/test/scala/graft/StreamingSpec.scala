@@ -101,6 +101,43 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming content dedup: first seen wins across micro-batches") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    val srcDir = s"$base/src"
+    def doc(id: String, payload: String) =
+      PendingDoc(id, "", Seq.empty, 0, s"$id.txt", "", payload.getBytes)
+    // batch 1: two distinct payloads + one in-batch duplicate
+    spark.createDataset(Seq(doc("a", "pay-1"), doc("b", "pay-2"),
+      doc("c", "pay-1"))).write.parquet(srcDir)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+      val q = StreamingIngest.dedupByContentStream(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("parquet").option("path", s"$base/out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val ids1 = spark.read.parquet(s"$base/out")
+      .select("doc_id").as[String].collect().toSet
+    // one survivor per hash: b, plus exactly one of the in-batch dups a/c
+    // (which one wins within a batch is plan-order, not contract)
+    assert(ids1.size == 2 && ids1.contains("b") &&
+      (ids1 - "b").subsetOf(Set("a", "c")), ids1)
+    // batch 2 (new query, same checkpoint): a replayed duplicate across
+    // the batch boundary + one genuinely new payload
+    spark.createDataset(Seq(doc("d", "pay-2"), doc("e", "pay-3")))
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    val ids2 = spark.read.parquet(s"$base/out")
+      .select("doc_id").as[String].collect().toSet
+    assert(ids2 == ids1 + "e", ids2) // cross-batch state dropped d
+  }
+
   test("watermarked windowed metrics over the events stream schema") {
     import spark.implicits._
     val eventsPath = "/root/testdata/sf0.001/events.parquet"
