@@ -379,6 +379,15 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
         .orderBy("doc_id")),
+    // Deterministic stratified sampling (training-data mixing weights by
+    // language): md5-prefix threshold, portable to any engine with md5 —
+    // the oracle replicates the exact predicate.
+    "t_sample_stratified" -> ((s, dir) => {
+      TextOps.stratifiedSample(QueryLib.documents(s, dir), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1, salt = "graft")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
     // Connected components over a deterministic chain graph (doc links to
     // doc+1 except across decade boundaries): pins the iterative min-label
     // propagation — chains need ~9 propagation rounds, so the loop (and its
@@ -917,6 +926,12 @@ object SparkEntry {
         |       CAST(len(list_filter(string_split_regex(text, '\s+'),
         |                            x -> len(x) > 0)) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_sample_stratified" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 6) <
+        |  CASE lang WHEN 'en' THEN '800000' WHEN 'de' THEN '400000'
+        |            ELSE '199999' END
+        |ORDER BY doc_id""".stripMargin,
     "t_dedup_clusters" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
         |m AS (SELECT id,

@@ -49,6 +49,35 @@ object TextOps {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on",
     "for", "with", "as", "at", "by", "that", "this", "be", "are")
 
+  /** Deterministic keep-predicate for hash sampling: md5 of (id ++ salt),
+    * first 6 hex digits compared against the rate's hex threshold. Engine-
+    * portable (any SQL engine with md5 reproduces it exactly), partition-
+    * independent, and stable across reruns — the corpus-sampling primitive
+    * for training-data mixing, where an RNG-based sample() is neither
+    * reproducible nor consistent under repartitioning. */
+  def sampleKeep(id: Column, salt: String, rate: Double): Column = {
+    if (rate >= 1.0) lit(true)
+    else if (rate <= 0.0) lit(false)
+    else {
+      val threshold = f"${(rate * (1L << 24)).toLong}%06x"
+      substring(md5(concat(id.cast("string"), lit(salt))), 1, 6) < lit(threshold)
+    }
+  }
+
+  /** Stratified deterministic sampling: per-stratum rates (data-mixing
+    * weights), `defaultRate` for unlisted strata. One narrow filter — the
+    * predicate pushes to the scan; no shuffle, no RNG state. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String): DataFrame = {
+    val keep = rates.foldLeft(sampleKeep(col(idCol), salt, defaultRate)) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum,
+          sampleKeep(col(idCol), salt, rate)).otherwise(acc)
+    }
+    df.filter(keep)
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 "repetitious
     * text" filters, public): duplicate-line fraction, duplicate-trigram
     * fraction, and the most-frequent-bigram fraction, as integer

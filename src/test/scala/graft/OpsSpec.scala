@@ -257,6 +257,28 @@ class OpsSpec extends AnyFunSuite {
     assert(TextOps.detectLanguage("x") == "und")
   }
 
+  test("deterministic sampling: reproducible, rate-accurate, stratified") {
+    val ids = (0L until 20000L).map(i => (i, if (i % 2 == 0) "en" else "xx"))
+      .toDF("id", "lang")
+    val kept = TextOps.stratifiedSample(ids, "id", "lang",
+      Map("en" -> 0.5), defaultRate = 0.05, salt = "s1")
+    val byLang = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 10k per stratum: binomial 3-sigma bounds
+    assert(math.abs(byLang("en") - 5000L) < 500, byLang)
+    assert(math.abs(byLang("xx") - 500L) < 200, byLang)
+    // exact reproducibility across invocations
+    val again = TextOps.stratifiedSample(ids, "id", "lang",
+      Map("en" -> 0.5), defaultRate = 0.05, salt = "s1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("id").collect().map(_.getLong(0)).toSet)
+    // salt changes the sample
+    val salted = TextOps.stratifiedSample(ids, "id", "lang",
+      Map("en" -> 0.5), defaultRate = 0.05, salt = "s2")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(salted != again)
+  }
+
   test("repetition stats: hand-computed duplicate-line/ngram fractions") {
     val text = "spam ham spam ham spam ham\nunique line\nunique line"
     // lines: 3 non-empty, dup 1 → 333; toks span lines: 10 tokens
