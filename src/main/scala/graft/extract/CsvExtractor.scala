@@ -57,9 +57,11 @@ object CsvExtractor extends Extractor {
   /** Dialect sniffer in the spirit of Python csv.Sniffer: pick the
     * candidate delimiter whose per-line count is most consistent and
     * non-zero across sample lines (quoted regions ignored). */
+  private val LineBreak = java.util.regex.Pattern.compile("\r\n|\n|\r")
+
   def sniffDelimiter(sample: String): Option[Char] = {
     val candidates = Seq(',', '\t', ';', '|', ':')
-    val lines = sample.split("\r\n|\n|\r").filter(_.nonEmpty).take(64)
+    val lines = LineBreak.split(sample).filter(_.nonEmpty).take(64)
     if (lines.isEmpty) return None
     var best: Option[(Char, Int)] = None // (delim, score)
     for (d <- candidates) {

@@ -258,9 +258,18 @@ object HtmlDom {
 
   /** All elements in document order. */
   def allElements(root: HElem): Iterator[HElem] = {
-    def walk(e: HElem): Iterator[HElem] =
-      Iterator.single(e) ++ e.children.iterator.collect { case c: HElem => c }.flatMap(walk)
+    // strict preorder collection: the lazy Iterator-++ version built one
+    // ConcatIterator cell per DOM node and dominated the HTML profile
+    val buf = Vector.newBuilder[HElem]
+    def walk(e: HElem): Unit = {
+      buf += e
+      e.children.foreach {
+        case c: HElem => walk(c)
+        case _ => ()
+      }
+    }
     walk(root)
+    buf.result().iterator
   }
 
   def findAll(root: HElem, tag: String): Iterator[HElem] =

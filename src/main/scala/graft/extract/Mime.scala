@@ -9,12 +9,35 @@ import java.util.Base64
   * `/root/reference/ingestors/email/msg.py`. */
 object Mime {
 
+  /** Hand-rolled "\r\n|\n" splitter with limit=-1 semantics: splits at
+    * every LF, strips one preceding CR, keeps lone CRs in the line and
+    * trailing empty segments — the regex alternation scanned per position
+    * and dominated the EML profile. */
+  private def splitLines(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var i = s.indexOf('\n')
+    while (i >= 0) {
+      val end = if (i > start && s.charAt(i - 1) == '\r') i - 1 else i
+      out += s.substring(start, end)
+      start = i + 1
+      i = s.indexOf('\n', start)
+    }
+    out += s.substring(start)
+    out.toArray
+  }
+
   final case class Part(headers: Vector[(String, String)],
                         bodyBytes: Array[Byte],
                         subParts: Vector[Part]) {
 
+    // lazy lowercase index: header lookups happen ~15x per message and
+    // the collect-with-equalsIgnoreCase scan was a measured hot spot
+    private lazy val headerMap: Map[String, Vector[String]] =
+      headers.groupMap(_._1.toLowerCase)(_._2)
+
     def getAll(name: String): Seq[String] =
-      headers.collect { case (k, v) if k.equalsIgnoreCase(name) => v }
+      headerMap.getOrElse(name.toLowerCase, Vector.empty)
 
     def get(name: String): Option[String] = getAll(name).headOption
 
@@ -103,7 +126,7 @@ object Mime {
       out += (curKey -> curVal.toString.trim)
       curKey = null; curVal.clear()
     }
-    for (line <- block.split("\r\n|\n", -1)) {
+    for (line <- splitLines(block)) {
       if (line.nonEmpty && (line.charAt(0) == ' ' || line.charAt(0) == '\t')) {
         if (curKey != null) curVal.append(' ').append(line.trim)
       } else {
@@ -121,7 +144,7 @@ object Mime {
 
   def splitMultipartRaw(body: String, boundary: String): Vector[String] = {
     val delim = "--" + boundary
-    val lines = body.split("\r\n|\n", -1)
+    val lines = splitLines(body)
     val parts = Vector.newBuilder[String]
     val cur = new StringBuilder
     var inPart = false

@@ -67,17 +67,32 @@ object HtmlExtractor extends Extractor {
     collapseSpaces(sb.toString)
   }
 
-  /** Header metadata per `support/html.py:28-44` (multi-valued adds). */
+  /** Header metadata per `support/html.py:28-44` (multi-valued adds).
+    * One DOM walk collects the meta/title elements; every field lookup is
+    * over that vector (the per-field getMeta re-walk was 7 full traversals
+    * per document — the measured HTML hot spot). */
   def headerProps(root: HElem): Map[String, Seq[String]] = {
-    def titleText: Option[String] = {
-      val it = findAll(root, "title")
-      if (it.hasNext) Some(textContent(it.next())) else None
+    val all = HtmlDom.allElements(root).toVector
+    val metas = all.filter(_.tag == "meta")
+    def metaOf(field: String): Option[String] = {
+      // same precedence as getMeta: property= first, then name=, document
+      // order within each, first nonempty collapsed content wins
+      for (attr <- Seq("property", "name")) {
+        val it = metas.iterator
+          .filter(_.attrs.get(attr).contains(field))
+          .flatMap(e => e.attrs.get("content").map(collapseSpaces))
+          .filter(_.nonEmpty)
+        if (it.hasNext) return Some(it.next())
+      }
+      None
     }
-    val title = Seq(getMeta(root, "og:title"), titleText).flatten.filter(_.nonEmpty)
-    val summary = Seq(getMeta(root, "og:description"), getMeta(root, "description")).flatten
-    val author = Seq(getMeta(root, "author"), getMeta(root, "og:site_name")).flatten
+    def titleText: Option[String] =
+      all.find(_.tag == "title").map(textContent)
+    val title = Seq(metaOf("og:title"), titleText).flatten.filter(_.nonEmpty)
+    val summary = Seq(metaOf("og:description"), metaOf("description")).flatten
+    val author = Seq(metaOf("author"), metaOf("og:site_name")).flatten
     val keywords = Seq("keywords", "news_keywords").flatMap { f =>
-      getMeta(root, f).toSeq.flatMap(_.split(",").toSeq.map(collapseSpaces))
+      metaOf(f).toSeq.flatMap(_.split(",").toSeq.map(collapseSpaces))
     }
     // FtM property values are set-semantic (duplicate adds collapse)
     Seq(
