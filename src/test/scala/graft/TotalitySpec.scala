@@ -82,7 +82,13 @@ class TotalitySpec extends AnyFunSuite {
         graft.extract.SevenZipWriter.write("a.txt", "seven zip member".getBytes),
         graft.extract.Sqlite.write("t", Seq("a", "b"), Seq(Seq("x", "y"))),
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
-          "/root/reference/tests/fixtures/Books_be.mdb")))
+          "/root/reference/tests/fixtures/Books_be.mdb")),
+        // round-3 binary readers: Jet4, PST, RAR
+        graft.extract.Jet4Writer.write("docs", 2,
+          Seq(Seq("alpha", "beta"), Seq("gamma", "delta"))),
+        graft.extract.Pst.write("Inbox",
+          Seq(("subj", "a@x.y", "pst body text"))),
+        graft.corpus.CorpusGen.renderRar(Seq(("a.txt", "rar member".getBytes))))
     }
     val mutGen = for {
       doc <- Gen.oneOf(seedDocs)
