@@ -103,6 +103,26 @@ class OpsSpec extends AnyFunSuite {
     assert((brute & lsh).size >= 5, s"recall too low: ${(brute & lsh).size}/25")
   }
 
+  test("one-permutation minhash approximates jaccard like the kxh scheme") {
+    val rng = new graft.corpus.CorpusGen.Rng(31)
+    def randSet(n: Int) = (0 until n).map(_ => rng.nextLong()).toArray
+    // two sets with known overlap: J = 200/(500+500-200) = 0.25
+    val shared = randSet(200)
+    val a = (shared ++ randSet(300)).toSeq
+    val b = (shared ++ randSet(300)).toSeq
+    def estimate(f: (Iterable[Long], Int) => Array[Long]): Double = {
+      val sa = f(a, 128); val sb = f(b, 128)
+      sa.zip(sb).count { case (x, y) => x == y } / 128.0
+    }
+    val kxh = estimate(Dedup.minhashSignature)
+    val oph = estimate(Dedup.minhashSignatureOph)
+    assert(math.abs(kxh - 0.25) < 0.12, s"kxh=$kxh")
+    assert(math.abs(oph - 0.25) < 0.12, s"oph=$oph")
+    // determinism
+    assert(Dedup.minhashSignatureOph(a, 128).sameElements(
+      Dedup.minhashSignatureOph(a, 128)))
+  }
+
   test("minhash sig8 verify agrees with exact on planted near-dups") {
     val rng = new graft.corpus.CorpusGen.Rng(29)
     val words = (0 until 400).map(i => s"w$i")
