@@ -379,6 +379,23 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
         .orderBy("doc_id")),
+    // PII redaction: planted email + phone per doc, the exact
+    // regexp_replace chain replayed by the DuckDB oracle
+    "t_redact" -> ((s, dir) => {
+      val aug = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          concat(col("text"), lit(" reach user"), col("doc_id"),
+            lit("@example.com or +1 555 01"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+            lit(" today")).as("aug"))
+      aug.select(col("doc_id"), TextOps.redactPii(col("aug")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+    // LLM context-window chunking: 50-token windows, stride 25
+    "t_token_windows" -> ((s, dir) => {
+      TextOps.tokenWindows(s, QueryLib.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "win_idx")
+    }),
     // Deterministic stratified sampling (training-data mixing weights by
     // language): md5-prefix threshold, portable to any engine with md5 —
     // the oracle replicates the exact predicate.
@@ -926,6 +943,30 @@ object SparkEntry {
         |       CAST(len(list_filter(string_split_regex(text, '\s+'),
         |                            x -> len(x) > 0)) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_redact" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' reach user' || doc_id || '@example.com or +1 555 01'
+        |          || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' today',
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b([A-Za-z]{2} ?[0-9]{2} ?[A-Za-z0-9]{4} ?[0-9]{7}([A-Za-z0-9]?){0,16})\b', '[IBAN]', 'g'),
+        |    '(\+?[\d\-\(\)\/\s]{5,}\d{2})', '[PHONE]', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_token_windows" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 25)) AS start
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id,
+        |       CAST((start - 1) // 25 AS BIGINT) AS win_idx,
+        |       array_to_string(toks[start:least(start + 49, len(toks))], ' ')
+        |         AS window_text
+        |FROM w ORDER BY doc_id, win_idx""".stripMargin,
     "t_sample_stratified" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 6) <

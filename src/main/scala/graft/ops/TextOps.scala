@@ -49,6 +49,42 @@ object TextOps {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on",
     "for", "with", "as", "at", "by", "that", "this", "be", "are")
 
+  /** PII redaction over text columns — the pre-training scrub step: the
+    * same email/phone/IBAN patterns the analysis stage extracts
+    * ([[graft.analysis.Analyze]]), replaced with type tokens. One narrow
+    * codegen'd projection (regexp_replace chain), no shuffle; patterns are
+    * RE2-compatible so any engine reproduces the result (the oracle runs
+    * the identical chain in DuckDB). Order matters and is part of the
+    * contract: emails, then IBANs, then phones (phones would otherwise eat
+    * IBAN digit runs). */
+  def redactPii(text: Column): Column = {
+    import graft.analysis.Analyze
+    val e = regexp_replace(text, Analyze.EmailRegex, "[EMAIL]")
+    val i = regexp_replace(e, Analyze.IbanRegex, "[IBAN]")
+    regexp_replace(i, Analyze.PhoneRegex, "[PHONE]")
+  }
+
+  /** Fixed-size token windows with stride — LLM context-window chunking
+    * with overlap. Output (id, win_idx, window_text); windows start every
+    * `stride` tokens, the tail window may be short. One narrow flatMap. */
+  def tokenWindows(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                   idCol: String, textCol: String,
+                   window: Int = 50, stride: Int = 25): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val toks = graft.core.TextUtil.tokens(if (t == null) "" else t)
+        if (toks.isEmpty) Iterator.empty
+        else (0 until toks.length by stride).iterator.zipWithIndex.map {
+          case (st, wi) =>
+            (id, wi.toLong,
+              toks.slice(st, math.min(st + window, toks.length)).mkString(" "))
+        }
+      }
+      .toDF(idCol, "win_idx", "window_text")
+  }
+
   /** Deterministic keep-predicate for hash sampling: md5 of (id ++ salt),
     * first 6 hex digits compared against the rate's hex threshold. Engine-
     * portable (any SQL engine with md5 reproduces it exactly), partition-

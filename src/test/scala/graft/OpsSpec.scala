@@ -299,6 +299,25 @@ class OpsSpec extends AnyFunSuite {
     assert(salted != again)
   }
 
+  test("pii redaction and token windows: hand-checked edges") {
+    val df = Seq(
+      (1L, "mail a.b@x.co or ring +44 20 7946 0958 iban DE44500105175407324931 end"),
+      (2L, "three little tokens"),
+      (3L, "")).toDF("doc_id", "text")
+    val red = df.select($"doc_id", TextOps.redactPii($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L).contains("[EMAIL]") && red(1L).contains("[PHONE]") &&
+      red(1L).contains("[IBAN]"), red(1L))
+    assert(!red(1L).contains("@") && !red(1L).contains("0958"), red(1L))
+    assert(red(2L) == "three little tokens")
+    val win = TextOps.tokenWindows(spark, df, "doc_id", "text",
+        window = 2, stride = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(win.filter(_._1 == 2L).map(_._3).toSeq ==
+      Seq("three little", "little tokens", "tokens"))
+    assert(!win.exists(_._1 == 3L)) // empty text -> no windows
+  }
+
   test("repetition stats: hand-computed duplicate-line/ngram fractions") {
     val text = "spam ham spam ham spam ham\nunique line\nunique line"
     // lines: 3 non-empty, dup 1 → 333; toks span lines: 10 tokens
