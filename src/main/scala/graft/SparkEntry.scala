@@ -379,6 +379,19 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
         .orderBy("doc_id")),
+    // End-to-end corpus dedup (exact collapse -> star LSH -> connected
+    // components -> survivor), exact-verified so the oracle is the
+    // ground-truth jaccard>=0.8 graph: exhaustive shingle-jaccard pairs +
+    // recursive-CTE reachability closure in DuckDB. Pins LSH recall,
+    // star-link connectivity, AND the CC labeling in one query.
+    "t_dedup_corpus" -> ((s, dir) => {
+      val base = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+      val dup = base.select((col("id") + 1000000L).as("id"), col("text"))
+      graft.ops.Dedup.dedupCorpus(s, base.unionByName(dup), "id", "text", 0.8,
+          verify = "exact")
+        .orderBy("id")
+    }),
     // PII redaction: planted email + phone per doc, the exact
     // regexp_replace chain replayed by the DuckDB oracle
     "t_redact" -> ((s, dir) => {
@@ -943,6 +956,37 @@ object SparkEntry {
         |       CAST(len(list_filter(string_split_regex(text, '\s+'),
         |                            x -> len(x) > 0)) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_dedup_corpus" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT) + 1000000, text FROM documents),
+        |toks AS (
+        |  SELECT id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM d),
+        |sh AS (
+        |  SELECT id,
+        |         CASE WHEN len(t) >= 3
+        |              THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |              ELSE list_distinct(t) END AS s
+        |  FROM toks),
+        |ex AS (SELECT id, unnest(s) AS g, len(s) AS sz FROM sh),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+        |  GROUP BY a.id, b.id, a.sz, b.sz
+        |  HAVING CAST(count(*) AS DOUBLE) / (a.sz + b.sz - count(*)) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS comp FROM d
+        |  UNION
+        |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id, min(comp) AS representative,
+        |       id = min(comp) AS keep
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "t_redact" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  regexp_replace(

@@ -444,7 +444,8 @@ object Dedup {
   def dedupCorpus(spark: SparkSession, df: DataFrame, idCol: String,
                   textCol: String, threshold: Double = 0.8,
                   params: MinHashParams = MinHashParams(),
-                  maxBucket: Int = 256): DataFrame = {
+                  maxBucket: Int = 256,
+                  verify: String = "sig8"): DataFrame = {
     import spark.implicits._
     val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
     val withHash = docs.withColumn("h", xxhash64(col("text")))
@@ -456,7 +457,7 @@ object Dedup {
     val reps = withHash.join(bodyRep.withColumnRenamed("rep", "id"), Seq("h", "id"))
       .select(col("id"), col("text"))
     val links = minhashLsh(spark, reps, "id", "text", threshold, params,
-      maxBucket = maxBucket, verify = "sig8", pairing = "star")
+      maxBucket = maxBucket, verify = verify, pairing = "star")
       .select(col("id_a"), col("id_b"))
     val comp = connectedComponents(spark, links)
     idToRep
