@@ -55,6 +55,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchangeLine.contains("text"), exchangeLine)
   }
 
+  test("stratified sampling is one narrow filter over the scan (no shuffle, no RNG)") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    val df = graft.ops.TextOps.stratifiedSample(
+      spark.read.parquet(s"$sfDir/documents.parquet"),
+      "doc_id", "lang", Map("en" -> 0.5), 0.1, "s")
+      .select("doc_id", "lang")
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), plan.take(1500))
+    assert(!plan.contains("Sample"), plan.take(1500)) // hash predicate, not sample()
+  }
+
+  test("dedupCorpus plan has no cartesian/nested-loop join anywhere") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("id"), col("text")).limit(200)
+    val out = graft.ops.Dedup.dedupCorpus(spark, docs, "id", "text", 0.8)
+    val plan = planOf(out)
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(out.count() > 0)
+  }
+
   test("x_* renderPending stays a single narrow stage over the scan (no shuffle before extraction)") {
     assume(new java.io.File(s"$sfDir/documents.parquet").exists)
     import spark.implicits._
