@@ -228,15 +228,51 @@ object PdfExtractor extends Extractor {
     }
   }
 
-  private val ObjRe = """(?s)(\d+)\s+(\d+)\s+obj\b""".r
+  // hand-rolled "(\\d+)\\s+(\\d+)\\s+obj\\b" scanner: indexOf("obj") +
+  // backtrack over ws/digit runs — the regex findAllMatchIn tried the
+  // greedy \\d+ at every byte of the file and was a measured hot spot
+  @inline private def isPdfWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000b'
+  @inline private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  /** Object-number start positions: (objNum, index-after-"obj") pairs in
+    * document order, matching the former regex semantics exactly. */
+  private def objSites(s: String): Iterator[(Int, Int)] = {
+    val out = Vector.newBuilder[(Int, Int)]
+    var idx = s.indexOf("obj")
+    while (idx >= 0) {
+      if (idx + 3 >= s.length || !isWordChar(s.charAt(idx + 3))) {
+        var q = idx - 1
+        val ws2 = q
+        while (q >= 0 && isPdfWs(s.charAt(q))) q -= 1
+        if (q < ws2) {
+          val d2 = q
+          while (q >= 0 && s.charAt(q) >= '0' && s.charAt(q) <= '9') q -= 1
+          if (q < d2) {
+            val ws1 = q
+            while (q >= 0 && isPdfWs(s.charAt(q))) q -= 1
+            if (q < ws1) {
+              val d1 = q
+              while (q >= 0 && s.charAt(q) >= '0' && s.charAt(q) <= '9') q -= 1
+              if (q < d1)
+                out += ((s.substring(q + 1, d1 + 1).toInt, idx + 3))
+            }
+          }
+        }
+      }
+      idx = s.indexOf("obj", idx + 1)
+    }
+    out.result().iterator
+  }
 
   def scan(bytes: Array[Byte]): PdfDoc = {
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
     val objects = mutable.Map.empty[Int, PVal]
-    for (m <- ObjRe.findAllMatchIn(s)) {
-      val num = m.group(1).toInt
+    for ((num, after) <- objSites(s)) {
       val lx = new Lexer(s)
-      lx.i = m.end
+      lx.i = after
       try {
         val v = parseVal(lx)
         lx.ws()
