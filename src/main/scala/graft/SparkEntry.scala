@@ -392,6 +392,23 @@ object SparkEntry {
           verify = "exact")
         .orderBy("id")
     }),
+    // Duplicated-substring signal (Lee et al. 2021 hash-gram form):
+    // 20-token grams shared across docs; planted half-copies guarantee
+    // genuine shared runs
+    "t_shared_ngrams" -> ((s, dir) => {
+      import s.implicits._
+      val base = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+      // half-document copies (token-canonical so the oracle derives the
+      // identical token sequence): every gram of a copy occurs in its source
+      val halves = base.as[(Long, String)].map { case (id, t) =>
+        val toks = graft.core.TextUtil.tokens(t)
+        val l = math.max(toks.length / 2, 21)
+        (id + 1000000L, toks.take(l).mkString(" "))
+      }.toDF("id", "text")
+      TextOps.sharedNgramStats(s, base.unionByName(halves), "id", "text")
+        .orderBy("id")
+    }),
     // PII redaction: planted email + phone per doc, the exact
     // regexp_replace chain replayed by the DuckDB oracle
     "t_redact" -> ((s, dir) => {
@@ -987,6 +1004,27 @@ object SparkEntry {
         |SELECT id, min(comp) AS representative,
         |       id = min(comp) AS keep
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "t_shared_ngrams" ->
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |alldocs AS (
+        |  SELECT id, toks FROM base
+        |  UNION ALL
+        |  SELECT id + 1000000,
+        |         toks[1:greatest(CAST(len(toks) // 2 AS BIGINT), 21)]
+        |  FROM base),
+        |g AS (
+        |  SELECT id, unnest(list_distinct(list_transform(
+        |           range(1, len(toks) - 18),
+        |           i -> array_to_string(toks[i:i+19], ' ')))) AS gram
+        |  FROM alldocs WHERE len(toks) >= 20),
+        |d AS (SELECT gram, count(DISTINCT id) AS nd FROM g GROUP BY gram)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS shared_grams
+        |FROM g JOIN d USING (gram) GROUP BY id ORDER BY id""".stripMargin,
     "t_redact" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  regexp_replace(

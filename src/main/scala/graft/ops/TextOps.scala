@@ -85,6 +85,39 @@ object TextOps {
       .toDF(idCol, "win_idx", "window_text")
   }
 
+  /** Duplicated-substring signal (the gram-hash form of Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better": exact
+    * n-token substrings appearing in more than one document). Output per
+    * doc: (id, n_grams, shared_grams) over the doc's DISTINCT n-token
+    * grams — the per-doc signal a cut/filter stage thresholds on.
+    *
+    * Scale shape: one narrow explode of distinct grams per doc, one
+    * groupBy on the gram (at 100 TB the gram is a 64-bit hash so only
+    * 8-byte keys shuffle — here the literal gram string keys both engines
+    * identically for the oracle), one map-side-combined count-distinct,
+    * one join back. Docs with fewer than n tokens emit nothing. */
+  def sharedNgramStats(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                       idCol: String, textCol: String, n: Int = 20): DataFrame = {
+    import spark.implicits._
+    val grams = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val toks = graft.core.TextUtil.tokens(if (t == null) "" else t)
+        if (toks.length < n) Iterator.empty
+        else {
+          val grams = toks.sliding(n).map(_.mkString(" ")).toSet
+          grams.iterator.map((g: String) => (id, g))
+        }
+      }
+      .toDF("id", "gram")
+    val counts = grams.groupBy("gram")
+      .agg(countDistinct(col("id")).as("nd"))
+    grams.join(counts, "gram")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("shared_grams"))
+  }
+
   /** Deterministic keep-predicate for hash sampling: md5 of (id ++ salt),
     * first 6 hex digits compared against the rate's hex threshold. Engine-
     * portable (any SQL engine with md5 reproduces it exactly), partition-
