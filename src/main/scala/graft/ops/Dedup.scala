@@ -45,22 +45,25 @@ object Dedup {
 
   private val P = (1L << 61) - 1 // Mersenne prime
 
-  // Coefficients are deterministic in k — computed once per JVM (executor),
-  // not per document: the signature loop is the hottest code in the LSH path.
+  // Seeds are deterministic in k — computed once per JVM (executor),
+  // not per document: the signature loop is the hottest code in the LSH
+  // path. (The seed stream intentionally draws two values per component
+  // and keeps the first, preserving the signature values the oracles and
+  // the r2→r3 family swap pinned.)
   private val coeffCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
 
-  private def hashCoeffs(k: Int): (Array[Long], Array[Long]) =
+  private def hashCoeffs(k: Int): Array[Long] =
     coeffCache.computeIfAbsent(k, (kk: Int) => {
       val rng = new graft.corpus.CorpusGen.Rng(0x6a09e667f3bcc908L)
-      val as = new Array[Long](kk); val bs = new Array[Long](kk)
+      val as = new Array[Long](kk)
       var i = 0
       while (i < kk) {
         as(i) = math.abs(rng.nextLong()) % (P - 1) + 1
-        bs(i) = math.abs(rng.nextLong()) % P
+        rng.nextLong() // discarded (was the affine family's b_i)
         i += 1
       }
-      (as, bs)
+      as
     })
 
   def minhashSignature(shingleHashes: Iterable[Long], k: Int): Array[Long] = {
@@ -71,7 +74,7 @@ object Dedup {
     // near-dup cost at scale — with the same minwise behavior in practice.
     // The correctness contract is unaffected: candidates are exact-verified
     // downstream, and the t_minhash_lsh oracle is exhaustive-jaccard.
-    val (seeds, _) = hashCoeffs(k)
+    val seeds = hashCoeffs(k)
     val sig = Array.fill(k)(Long.MaxValue)
     for (x0 <- shingleHashes) {
       var i = 0
@@ -121,27 +124,18 @@ object Dedup {
       if (sig(j) == Long.MaxValue) {
         var d = 1
         while (d < k && sig((j + d) % k) == Long.MaxValue) d += 1
-        if (d < k) sig(j) = sig((j + d) % k) + d * 0x9e3779b97f4a7c15L
+        // mask the offset sum back into the non-negative range genuine
+        // minima occupy — the golden-ratio step overflows signed Long,
+        // and unmasked negative values would distort sig8 match-fraction
+        // estimates for sparse documents (band hashing itself is
+        // indifferent: densification is deterministic and shared)
+        if (d < k) sig(j) =
+          (sig((j + d) % k) + d * 0x9e3779b97f4a7c15L) & 0x7fffffffffffffffL
         else sig(j) = 0L // no shingles at all (callers filter this case)
       }
       j += 1
     }
     sig
-  }
-
-  private def mulmod61(a: Long, b: Long): Long = {
-    // multiply mod 2^61-1 using 128-bit split
-    val hi = Math.multiplyHigh(a, b)
-    val lo = a * b
-    // value = hi*2^64 + lo; 2^64 ≡ 8 (mod 2^61-1)
-    modMersenne61(modMersenne61(hi) * 8 + modMersenne61(lo & 0x7fffffffffffffffL) +
-      (if (lo < 0) modMersenne61(1L << 62) + modMersenne61(1L << 62) else 0L))
-  }
-
-  private def modMersenne61(x0: Long): Long = {
-    var x = (x0 & P) + (x0 >>> 61)
-    if (x >= P) x -= P
-    x
   }
 
   /** Jaccard over shingle sets — the exact verifier. */
@@ -440,12 +434,22 @@ object Dedup {
     *     cluster's min id.
     *
     * Output: (id, representative, keep) — `keep` marks the one survivor
-    * per near-dup cluster (the min id); filter on it to dedup. */
+    * per near-dup cluster (the min id); filter on it to dedup.
+    *
+    * Recall caveat: the default `pairing="star"` verifies members only
+    * against each bucket's min-id representative, so a transitive chain
+    * A~B~C with jaccard(A,C) < threshold can under-merge relative to an
+    * exhaustive-closure oracle (single-link recall limit). The
+    * `t_dedup_corpus` oracle currently holds because its near-dup mass is
+    * exact copies collapsed in stage 1 — corpus-dependent, which is why
+    * pairing is exposed here: pass `pairing="all"` when chain recall
+    * matters more than the O(n) bucket cost. */
   def dedupCorpus(spark: SparkSession, df: DataFrame, idCol: String,
                   textCol: String, threshold: Double = 0.8,
                   params: MinHashParams = MinHashParams(),
                   maxBucket: Int = 256,
-                  verify: String = "sig8"): DataFrame = {
+                  verify: String = "sig8",
+                  pairing: String = "star"): DataFrame = {
     import spark.implicits._
     val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
     val withHash = docs.withColumn("h", xxhash64(col("text")))
@@ -457,7 +461,7 @@ object Dedup {
     val reps = withHash.join(bodyRep.withColumnRenamed("rep", "id"), Seq("h", "id"))
       .select(col("id"), col("text"))
     val links = minhashLsh(spark, reps, "id", "text", threshold, params,
-      maxBucket = maxBucket, verify = verify, pairing = "star")
+      maxBucket = maxBucket, verify = verify, pairing = pairing)
       .select(col("id_a"), col("id_b"))
     val comp = connectedComponents(spark, links)
     idToRep
@@ -482,8 +486,11 @@ object Dedup {
     *  - per-iteration `localCheckpoint` truncates the growing plan
     *    lineage (driver-side planning is the scale hazard in iterative
     *    DataFrame jobs, same trick as Pipeline.run's per-depth cut);
-    *  - early-exits when an iteration changes no label (one count per
-    *    iteration — the convergence check IS the job).
+    *  - the convergence check rides the label job itself: the previous
+    *    label is carried through the same aggregation and an accumulator
+    *    counts changes during the eager-checkpoint materialization —
+    *    exactly ONE Spark job per iteration (asserted in PlanSpec), not
+    *    label-job + change-count-job.
     */
   def connectedComponents(spark: SparkSession, links: DataFrame,
                           maxIter: Int = 25): DataFrame = {
@@ -503,17 +510,39 @@ object Dedup {
     while (iter < maxIter && !converged) {
       val viaNeighbor = undirected
         .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
+        .select(col("dst").as("id"), col("component"),
+          lit(Long.MaxValue).as("old"))
+      // Every id has exactly one row in `labels`, so min(old) over the
+      // union recovers its previous label; neighbor rows carry the
+      // MaxValue sentinel. Change detection is an accumulator bump in the
+      // row pass the eager checkpoint materializes anyway. Accumulator
+      // updates in a transformation can over-count on task retry — that
+      // only delays convergence detection by one (correct) iteration,
+      // never falsely declares it.
+      val acc = spark.sparkContext.longAccumulator("cc_changed")
+      val next = labels
+        .select(col("id"), col("component"), col("component").as("old"))
         .unionByName(viaNeighbor)
-        .groupBy("id").agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
-      val changed = next.toDF("id", "c2").join(labels, "id")
-        .filter(col("c2") =!= col("component")).limit(1).count()
-      converged = changed == 0L
+        .groupBy("id").agg(min(col("component")).as("component"),
+          min(col("old")).as("old"))
+        .as[(Long, Long, Long)]
+        .map { case (id, comp, old) =>
+          if (comp != old) acc.add(1L)
+          (id, comp)
+        }
+        .toDF("id", "component")
+        .localCheckpoint(true) // eager: the one job per iteration
+      converged = acc.value == 0L
       labels = next
       iter += 1
     }
+    if (!converged)
+      // non-converged labels are still a valid coarsening (every labeled
+      // pair IS connected) but long chains may not have fully merged —
+      // surface it instead of silently returning partial clusters
+      System.err.println(s"[graft] connectedComponents did NOT converge " +
+        s"within maxIter=$maxIter (labels were still changing); component " +
+        s"diameter exceeds the iteration budget — raise maxIter")
     labels
   }
 }

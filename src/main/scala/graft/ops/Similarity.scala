@@ -337,7 +337,8 @@ object Similarity {
                 nCells: Int = 64, nProbe: Int = 4, m: Int = 8,
                 ksub: Int = 256, sampleN: Int = 2048, iters: Int = 8,
                 refine: Int = 4,
-                seed: Long = 0x9e3779b97f4a7c15L): DataFrame = {
+                seed: Long = 0x9e3779b97f4a7c15L,
+                maxQueries: Int = 65536): DataFrame = {
     import spark.implicits._
     require(m > 0 && ksub > 1 && ksub <= 256, "PQ codes are 1 byte per subspace")
 
@@ -377,13 +378,21 @@ object Similarity {
       }.toDF("cid", "cell", "code")
 
     // query side: (qid, cell) probe rows + a broadcast qid→unit-vector map
-    // (the query set is the small side by contract, as in bruteForceTopK)
+    // (the query set is the small side by contract, as in bruteForceTopK).
+    // The collect is ENFORCED bounded: limit(maxQueries+1) caps what can
+    // reach the driver, and the require turns an oversize query side into
+    // a fast, explicit failure instead of a silent driver OOM.
     val qvecs = queries
       .select(col(idCol).cast("long").as("qid"),
         col(vecCol).cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
+    val qArr = qvecs.limit(maxQueries + 1).collect()
+    require(qArr.length <= maxQueries,
+      s"ivfPqTopK: query side exceeds maxQueries=$maxQueries rows — the " +
+      "query set is broadcast from the driver; batch the queries or raise " +
+      "maxQueries if the driver heap genuinely accommodates it")
     val qmap = spark.sparkContext.broadcast(
-      qvecs.collect().map { case (id, v) => id -> l2normalize(v) }.toMap)
+      qArr.map { case (id, v) => id -> l2normalize(v) }.toMap)
     val qcells = qvecs.mapPartitions { it =>
       val (cs, _) = bModel.value
       it.flatMap { case (id, v) =>

@@ -179,6 +179,60 @@ class OpsSpec extends AnyFunSuite {
     assert(got(20L) == 20L && got(21L) == 20L, got)
   }
 
+  test("connected components: exactly one Spark job per iteration (convergence check rides the label job)") {
+    // chain 1-..-8 needs ~7 propagation rounds, so neither maxIter=2 nor
+    // maxIter=3 converges early — the job-count DELTA between them is the
+    // marginal cost of one iteration, independent of setup jobs. AQE is
+    // disabled for the measurement: it materializes each exchange as its
+    // own stage job, which would obscure the action count (the claim under
+    // test is ONE action per iteration — no separate change-count pass).
+    val links = (1L to 8L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    def jobsFor(maxIter: Int): Int = {
+      val group = s"cc-jobcount-$maxIter"
+      val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+      val bc0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // broadcast exchanges run their collect as a separate job; force the
+      // shuffle join so job count == action count
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sparkContext.setJobGroup(group, "cc job count", interruptOnCancel = false)
+      try Dedup.connectedComponents(spark, links, maxIter = maxIter)
+      finally {
+        spark.sparkContext.clearJobGroup()
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc0)
+      }
+      // status store is listener-fed (async): poll until stable
+      var n = -1; var stable = 0; var spins = 0
+      while (stable < 3 && spins < 100) {
+        val c = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+        if (c == n) stable += 1 else { n = c; stable = 0 }
+        Thread.sleep(50); spins += 1
+      }
+      n
+    }
+    val j2 = jobsFor(2)
+    val j3 = jobsFor(3)
+    assert(j3 - j2 == 1, s"per-iteration job cost = ${j3 - j2} (j2=$j2, j3=$j3)")
+  }
+
+  test("connected components warns (and still returns a valid coarsening) when maxIter is exceeded") {
+    val links = (1L to 8L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val saved = System.err
+    val got = try {
+      System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+      Dedup.connectedComponents(spark, links, maxIter = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    } finally System.setErr(saved)
+    assert(errBuf.toString("UTF-8").contains("did NOT converge"), errBuf.toString)
+    // partial labels are a coarsening: every label points at a genuinely
+    // connected (smaller-id) node, even if not yet the global min
+    assert(got.forall { case (id, c) => c <= id }, got)
+  }
+
   test("embedding dedup: banded plan finds planted pairs, no cartesian join") {
     val rng = new graft.corpus.CorpusGen.Rng(11)
     val vecs = (0L until 100L).map(i =>
@@ -269,6 +323,18 @@ class OpsSpec extends AnyFunSuite {
     val rank1 = out.filter($"rank" === 1).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toMap
     (0L until 5L).foreach(i => assert(rank1(i + 1000L) == i, s"query $i"))
+  }
+
+  test("ivf-pq fails fast (no driver OOM) when the query side exceeds maxQueries") {
+    val rng = new graft.corpus.CorpusGen.Rng(29)
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.fill(8)(rng.nextDouble().toFloat))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(spark, vecs, vecs, "vec_id", "embedding", 3,
+        nCells = 4, nProbe = 1, m = 4, ksub = 16, sampleN = 50,
+        maxQueries = 10)
+    }
+    assert(e.getMessage.contains("maxQueries"), e.getMessage)
   }
 
   test("language id: distinctive marker words win; short text is und") {

@@ -193,19 +193,23 @@ class PipelineSpec extends AnyFunSuite {
       ("d2", "b.zip", zip))
     val base = java.nio.file.Files.createTempDirectory("graft-snap").toString
 
+    // All snapshotDir paths go through an explicit file:-scheme URI so the
+    // bookkeeping (markers, level listing) is exercised via the Hadoop
+    // FileSystem layer — the path shape HDFS/S3A would take — while the
+    // java.io.File assertions below still see the same local files.
     // full uninterrupted run, separate snapshot dir
-    val (s0, m0, _) = Pipeline.runDurable(spark, p, s"$base/full")
+    val (s0, m0, _) = Pipeline.runDurable(spark, p, s"file:$base/full")
     val expectSpans = s0.collect().map(_.toString).sorted.toVector
     val expectMeta = m0.count()
 
     // "killed" run: commits depth 0 only, then stops
-    Pipeline.runDurable(spark, p, s"$base/killed", maxDepthOverride = 0)
+    Pipeline.runDurable(spark, p, s"file:$base/killed", maxDepthOverride = 0)
     val d0files = new java.io.File(s"$base/killed/depth=0/spans").list().sorted.toVector
     assert(new java.io.File(s"$base/killed/depth=0/_COMPLETE").exists())
     assert(!new java.io.File(s"$base/killed/depth=1").exists())
 
     // resume: completes depth 1+ without recomputing depth 0
-    val (s1, m1, l1) = Pipeline.runDurable(spark, p, s"$base/killed")
+    val (s1, m1, l1) = Pipeline.runDurable(spark, p, s"file:$base/killed")
     assert(new java.io.File(s"$base/killed/depth=0/spans").list().sorted.toVector
       == d0files, "depth 0 was rewritten on resume")
     assert(s1.collect().map(_.toString).sorted.toVector == expectSpans)
