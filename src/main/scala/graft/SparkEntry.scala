@@ -599,6 +599,34 @@ object SparkEntry {
           QueryLib.prop("height").cast("long").as("height"))
         .orderBy("doc_id")
     }),
+    // OCR end-to-end: BMP images + Type3-flagged PDFs through the pipeline
+    // (size window, Type3 text-layer suppression, engine, cache — see
+    // graft.ocr.Ocr; reference support/ocr.py + support/pdf.py:105-147)
+    "x_ocr" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "ocr"))
+      val meta = out.meta.toDF().select(col("doc_id"), col("ingestor"))
+      val texts = out.spans.toDF()
+        .filter(col("kind").isin("text", "page") && length(trim(col("text"))) > 0)
+        .select(col("doc_id"), trim(col("text")).as("ocr_text"))
+      meta.join(texts, Seq("doc_id"), "left")
+        .select(col("doc_id").cast("long").as("doc_id"), col("ingestor"),
+          col("ocr_text"))
+        .orderBy("doc_id")
+    }),
+    // the cluster-scale OCR cache shape: distinct-by-content-hash, OCR
+    // once per distinct image, join text back on the hash (ocr.py's Redis
+    // tag cache re-expressed as a dataflow)
+    "t_ocr_cache" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, graft.ocr.Raster.renderText("GROUP " + (id % 50),
+            scale = 2, minWidthChars = 30))
+        }).toDF("doc_id", "img")
+      graft.ocr.Ocr.ocrDataFrame(s, imgs, "doc_id", "img")
+        .orderBy("doc_id")
+    }),
     "m_media_meta" -> ((s, dir) => {
       import s.implicits._
       val media = QueryLib.documents(s, dir)
@@ -1243,6 +1271,22 @@ object SparkEntry {
         |            THEN CAST(floor((doc_id % 100 + 1) * 1000 * 1000.0 / 32000) AS BIGINT)
         |            ELSE doc_id % 100 * 250 + 100 END AS duration,
         |       CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END AS sampling_rate
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_ocr" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |         trim(substr(upper(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')), 1, 120)) AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'ImageIngestor'
+        |            ELSE 'PDFIngestor' END AS ingestor,
+        |       CASE WHEN doc_id % 10 = 6 THEN NULL
+        |            WHEN n = '' THEN NULL
+        |            WHEN TRY_CAST(n AS DOUBLE) IS NOT NULL THEN NULL
+        |            ELSE n END AS ocr_text
+        |FROM norm ORDER BY doc_id""".stripMargin,
+    "t_ocr_cache" ->
+      """SELECT doc_id, 'GROUP ' || (doc_id % 50) AS ocr_text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m_media_meta" ->
       """SELECT doc_id,

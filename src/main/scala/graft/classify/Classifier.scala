@@ -55,6 +55,11 @@ object Classifier {
     if (startsWithAscii(b, "GIF8")) return "image/gif"
     if (startsWith(b, Array(0x49, 0x49, 0x2a, 0x00)) ||
         startsWith(b, Array(0x4d, 0x4d, 0x00, 0x2a))) return "image/tiff"
+    // "BM" alone is a weak magic (plain text can start with it): require a
+    // plausible DIB header size at offset 14, as libmagic effectively does
+    if (startsWithAscii(b, "BM") && b.length >= 54 &&
+        Set(12, 40, 108, 124).contains((b(14) & 0xff) | ((b(15) & 0xff) << 8)))
+      return "image/bmp"
     if (startsWithAscii(b, "From ")) return "application/mbox"
     // text-ish sniffing on a decoded prefix
     val sample = b.take(8192)

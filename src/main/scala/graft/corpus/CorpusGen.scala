@@ -484,6 +484,56 @@ object CorpusGen {
     sb.toString.getBytes(StandardCharsets.ISO_8859_1)
   }
 
+  /** Single-page PDF exercising the reference's OCR trigger
+    * (`support/pdf.py:105-147`): a `decoyText` text layer drawn with /F1,
+    * an embedded image XObject /Im1 carrying `imageBytes`, and — when
+    * `type3` — /F1 declared as a Type3 font, which makes the reference
+    * (and our extractor) DISCARD the text layer and OCR the page images
+    * instead. With `type3=false` the layer survives and image OCR text is
+    * appended, the reference's normal-page behavior. The XObject stream
+    * carries the raster bytes unfiltered — the stand-in for fitz
+    * `extract_image`'s embedded-file bytes. */
+  def renderPdfOcr(decoyText: String, imageBytes: Array[Byte],
+                   title: String = "", type3: Boolean = true): Array[Byte] = {
+    val sb = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(body: String): Int = {
+      val num = offsets.length + 1
+      offsets += sb.length
+      sb.append(s"$num 0 obj\n$body\nendobj\n")
+      num
+    }
+    def esc(s: String) = s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    sb.append("%PDF-1.4\n%âãÏÓ\n")
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    obj("<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>")
+    obj("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R >> /XObject << /Im1 6 0 R >> >> " +
+      "/Contents 4 0 R >>")
+    val content = s"BT /F1 12 Tf 72 720 Td (${esc(decoyText)}) Tj ET\n" +
+      "q 468 0 0 360 72 300 cm /Im1 Do Q"
+    obj(s"<< /Length ${content.length} >>\nstream\n$content\nendstream")
+    if (type3)
+      obj("<< /Type /Font /Subtype /Type3 " +
+        "/FontMatrix [0.001 0 0 0.001 0 0] /CharProcs << >> " +
+        "/FontBBox [0 0 1000 1000] /FirstChar 0 /LastChar 0 /Widths [] >>")
+    else
+      obj("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    offsets += sb.length
+    sb.append(s"6 0 obj\n<< /Subtype /Image /Width 100 /Height 100 " +
+      s"/ColorSpace /DeviceRGB /BitsPerComponent 8 " +
+      s"/Length ${imageBytes.length} >>\nstream\n")
+    sb.append(new String(imageBytes, StandardCharsets.ISO_8859_1))
+    sb.append("\nendstream\nendobj\n")
+    obj(s"<< /Title (${esc(title)}) /Producer (graft-gen) >>")
+    val xrefPos = sb.length
+    sb.append(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R /Info 7 0 R >>\n")
+    sb.append(s"startxref\n$xrefPos\n%%EOF\n")
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
   def renderGzip(bytes: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)

@@ -9,8 +9,11 @@ import graft.core.TextUtil.{filterText, sha1Hex}
   * addressing, metadata columns) is real; the decode is a deterministic
   * stub, clearly marked (builder-prompt "multimodal columns" contract). */
 
-/** Images: kind="image" span carrying the content address; OCR hook stubbed
-  * (`/root/reference/ingestors/media/image.py:17-83`). */
+/** Images: kind="image" span carrying the content address, plus the OCR
+  * text span when the engine yields text
+  * (`/root/reference/ingestors/media/image.py:17-83`, OCR call at `:71`).
+  * The OCR path runs the reference's full plumbing (size window, content
+  * cache) around the deterministic stand-in engine — see `graft.ocr.Ocr`. */
 object ImageExtractor extends Extractor {
   val name = "ImageIngestor"
   val schema = "Image"
@@ -29,8 +32,13 @@ object ImageExtractor extends Extractor {
       props += ("width" -> Seq(w.toString))
       props += ("height" -> Seq(h.toString))
     }
+    val ocrSpan = graft.ocr.Ocr.extractOcrText(doc.bytes) match {
+      case Some(text) if filterText(text) =>
+        Vector(Span(SpanKinds.Text, text, "", 1))
+      case _ => Vector.empty
+    }
     ExtractionResult.success(schema,
-      Vector(Span(SpanKinds.Image, "", ref, 0)), props.result())
+      Vector(Span(SpanKinds.Image, "", ref, 0)) ++ ocrSpan, props.result())
   }
 }
 

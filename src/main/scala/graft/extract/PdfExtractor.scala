@@ -500,10 +500,40 @@ object PdfExtractor extends Extractor {
     out.result()
   }
 
+  /** /Resources of a page, falling back to the Pages-tree (inherited). */
+  private def pageResources(doc: PdfDoc, page: PDict,
+                            fallback: Option[PDict]): Option[PDict] =
+    doc.dictOf(page.m.getOrElse("Resources", PNull))
+      .orElse(fallback.flatMap(p => doc.dictOf(p.m.getOrElse("Resources", PNull))))
+
+  /** Type3 detection — the reference's per-page OCR trigger
+    * (`support/pdf.py:105-110`: any page font with Subtype Type3 ⇒ the
+    * text layer is glyph-procedure soup, so it is DISCARDED and the page
+    * goes through OCR instead). */
+  private def hasType3Font(doc: PdfDoc, page: PDict,
+                           fallback: Option[PDict]): Boolean =
+    pageResources(doc, page, fallback)
+      .flatMap(r => doc.dictOf(r.m.getOrElse("Font", PNull)))
+      .exists(_.m.values.exists(fref => doc.dictOf(fref)
+        .exists(_.m.get("Subtype").contains(PName("Type3")))))
+
+  /** Embedded image XObjects of a page in name order — the reference
+    * extracts these to disk and OCRs each (`support/pdf.py:111-147`). */
+  private def pageImages(doc: PdfDoc, page: PDict,
+                         fallback: Option[PDict]): Vector[Array[Byte]] =
+    pageResources(doc, page, fallback)
+      .flatMap(r => doc.dictOf(r.m.getOrElse("XObject", PNull)))
+      .map(_.m.toVector.sortBy(_._1).flatMap { case (_, ref) =>
+        doc.resolve(ref) match {
+          case st: PStream if st.dict.m.get("Subtype").contains(PName("Image")) =>
+            try Some(decodeStream(doc, st)) catch { case _: Exception => None }
+          case _ => None
+        }
+      }).getOrElse(Vector.empty)
+
   /** Page font resources: /Resources (page or Pages-tree fallback) → /Font. */
   private def fontsOf(doc: PdfDoc, page: PDict, fallback: Option[PDict]): Map[String, PdfFont] = {
-    val res = doc.dictOf(page.m.getOrElse("Resources", PNull))
-      .orElse(fallback.flatMap(p => doc.dictOf(p.m.getOrElse("Resources", PNull))))
+    val res = pageResources(doc, page, fallback)
     val fontDict = res.flatMap(r => doc.dictOf(r.m.getOrElse("Font", PNull)))
     fontDict.map(_.m.flatMap { case (fname, fref) =>
       doc.dictOf(fref).map { f =>
@@ -639,7 +669,18 @@ object PdfExtractor extends Extractor {
         }
         val content = contents.map(st =>
           new String(decodeStream(doc, st), StandardCharsets.ISO_8859_1)).mkString("\n")
-        val text = nfkd(pageText(content, fontsOf(doc, pg, topPages)))
+        // Reference `pdf_extract_page` (`support/pdf.py:101-149`): pages
+        // with a Type3 font drop their text layer entirely and rely on
+        // OCR; every page's embedded images are OCR'd and appended. The
+        // engine is the deterministic stand-in (graft.ocr), the trigger,
+        // size window and cache are the reference's contract.
+        val type3 = hasType3Font(doc, pg, topPages)
+        val layer = if (type3) "" else pageText(content, fontsOf(doc, pg, topPages))
+        val ocrTexts = pageImages(doc, pg, topPages)
+          .flatMap(img => graft.ocr.Ocr.extractOcrText(img))
+        val text = nfkd(
+          if (ocrTexts.isEmpty) layer
+          else (layer + ocrTexts.mkString("\n")).trim)
         if (filterText(text))
           spans += Span(SpanKinds.Page, text, "", idx + 1)
         else

@@ -177,6 +177,24 @@ object QueryLib extends Serializable {
         (s"doc$id.rar", CorpusGen.renderRar(Seq(
           "a.txt" -> text.getBytes("UTF-8"),
           "b.txt" -> s"copy of doc $id".getBytes("UTF-8"))))
+      case "ocr" =>
+        // OCR fixture mix: even ids → BMP glyph raster (ids ≡ 6 mod 10
+        // undersized, below the 2 KiB OCR window → engine never runs);
+        // odd ids → PDF with a Type3 font + the raster as an image
+        // XObject (text layer is a decoy the Type3 trigger must discard).
+        // Normalization (ASCII-strip then uppercase) happens BEFORE the
+        // 120-char cap so the oracle can replay it in DuckDB.
+        val norm = graft.ocr.Raster.normalize(text).take(120)
+        if (id % 2 == 0) {
+          if (id % 10 == 6)
+            (s"doc$id.bmp", graft.ocr.Raster.renderText(norm.take(4), scale = 1))
+          else
+            (s"doc$id.bmp",
+              graft.ocr.Raster.renderText(norm, scale = 2, minWidthChars = 30))
+        } else
+          (s"doc$id.pdf", CorpusGen.renderPdfOcr("DECOY TEXT LAYER",
+            graft.ocr.Raster.renderText(norm, scale = 2, minWidthChars = 30),
+            s"Doc $id"))
       case "rtf" =>
         val esc = text.replace("\\", "\\\\").replace("{", "\\{").replace("}", "\\}")
         val rtf = "{\\rtf1\\ansi{\\fonttbl{\\f0 Helvetica;}}\\f0\\fs24 " +
