@@ -99,11 +99,14 @@ object SparkEntry {
       val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "rar"))
       val children = out.meta.toDF().filter(col("depth") === 1)
         .select(col("parent_id").cast("long").as("doc_id"),
-          col("doc_id").as("child_id"), col("file_name"))
+          col("doc_id").as("child_id"), col("file_name"),
+          col("processing_status").as("status"))
       val body = out.spans.toDF().filter(col("kind") === "text")
         .select(col("doc_id").as("child_id"), col("text").as("body"))
-      children.join(body, "child_id")
-        .select(col("doc_id"), col("file_name"), col("body"))
+      // left join: the compressed member (c.bin) has a failure child row
+      // with no body — the reference's warn-and-skip made observable
+      children.join(body, Seq("child_id"), "left")
+        .select(col("doc_id"), col("file_name"), col("body"), col("status"))
         .orderBy("doc_id", "file_name")
     }),
     "x_7z" -> ((s, dir) => {
@@ -265,6 +268,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     // ---- simple body roundtrips: render → extract → body == text -------
+    // §2.1 directory source end-to-end: a rendered on-disk tree through
+    // the binaryFile DSv2 scan (SKIP_ENTRIES observable: .git/__MACOSX
+    // files exist on disk but must never become rows). The fixture tree
+    // is written driver-side because the operator under test IS the
+    // filesystem scan; bounded by the verify corpus size.
+    "x_dir" -> ((s, dir) => {
+      import s.implicits._
+      val docs = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect()
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_xdir_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      def deleteRec(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(deleteRec)
+        f.delete(); ()
+      }
+      if (root.exists()) deleteRec(root)
+      for ((id, text) <- docs) {
+        val sub = new java.io.File(root, s"sub${id % 10}")
+        sub.mkdirs()
+        java.nio.file.Files.write(new java.io.File(sub, s"doc$id.txt").toPath,
+          (if (text == null) "" else text).getBytes("UTF-8"))
+      }
+      val git = new java.io.File(root, ".git"); git.mkdirs()
+      java.nio.file.Files.write(new java.io.File(git, "config").toPath,
+        "skip me".getBytes("UTF-8"))
+      val mac = new java.io.File(root, "__MACOSX"); mac.mkdirs()
+      java.nio.file.Files.write(new java.io.File(mac, "._doc0.txt").toPath,
+        "skip me".getBytes("UTF-8"))
+      val out = QueryLib.run(s,
+        graft.sources.Sources.fromDirectory(s, root.getAbsolutePath))
+      out.spans.toDF().filter(col("kind") === "text")
+        .select(col("doc_id").as("path"), col("text").as("body"))
+        .orderBy("path")
+    }),
     "x_txt" -> ((s, dir) => bodyRoundtrip(s, dir, "txt")),
     "x_xml" -> ((s, dir) => bodyRoundtrip(s, dir, "xml")),
     "x_svg" -> ((s, dir) => bodyRoundtrip(s, dir, "svg")),
@@ -872,9 +911,11 @@ object SparkEntry {
       """SELECT doc_id, 'inner' || doc_id || '.txt' AS file_name, text AS body
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x_rar" ->
-      """SELECT doc_id, 'a.txt' AS file_name, text AS body FROM documents
+      """SELECT doc_id, 'a.txt' AS file_name, text AS body, 'success' AS status FROM documents
         |UNION ALL
-        |SELECT doc_id, 'b.txt' AS file_name, 'copy of doc ' || doc_id AS body FROM documents
+        |SELECT doc_id, 'b.txt' AS file_name, 'copy of doc ' || doc_id AS body, 'success' AS status FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'c.bin' AS file_name, NULL AS body, 'failure' AS status FROM documents
         |ORDER BY doc_id, file_name""".stripMargin,
     "x_targz" ->
       """SELECT doc_id, 'a.txt' AS file_name, text AS body FROM documents
@@ -931,6 +972,10 @@ object SparkEntry {
         |ORDER BY doc_id, subject""".stripMargin,
     "x_html_main" ->
       "SELECT doc_id, text AS main_text FROM documents ORDER BY doc_id",
+    "x_dir" ->
+      """SELECT 'sub' || (doc_id % 10) || '/doc' || doc_id || '.txt' AS path,
+        |       text AS body
+        |FROM documents ORDER BY path""".stripMargin,
     "x_txt" ->
       "SELECT doc_id, text AS body FROM documents ORDER BY doc_id",
     "x_xml" ->

@@ -163,7 +163,13 @@ object CorpusGen {
     * block is crc16(=low 16 bits of CRC32 over the header after the crc
     * field), type, flags, size; file blocks carry pack/unp sizes, host,
     * data CRC, DOS time, version, method, name. */
-  def renderRar(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+  /** RAR4 archive writer. `members` are store-method (fully extractable);
+    * `compressedNames` marks members to write with method 0x33 ("normal"
+    * LZSS compression) and opaque packed bytes — the shape a real RAR has
+    * for compressed members, which the extractor must list-then-skip with
+    * a failure child (no public codec spec). */
+  def renderRar(members: Seq[(String, Array[Byte])],
+                compressedNames: Set[String] = Set.empty): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
     val bos = new java.io.ByteArrayOutputStream()
     def crc16(h: Array[Byte]): Int = {
@@ -177,6 +183,7 @@ object CorpusGen {
     writeBlock(Array[Byte](0x73, 0x00, 0x00, 0x0d, 0x00, // type, flags, size=13
       0x00, 0x00, 0x00, 0x00, 0x00, 0x00))               // reserved
     for ((name, data) <- members) {
+      val compressed = compressedNames.contains(name)
       val nb = name.getBytes("UTF-8")
       val size = 32 + nb.length
       val h = new Array[Byte](size - 2)
@@ -185,13 +192,14 @@ object CorpusGen {
       bb.putShort(0x8000.toShort) // LONG_BLOCK: data follows
       bb.putShort(size.toShort)
       bb.putInt(data.length)      // packSize
-      bb.putInt(data.length)      // unpSize (= pack for store)
+      // unpSize: for store = pack; compressed members claim a larger one
+      bb.putInt(if (compressed) data.length * 3 + 7 else data.length)
       bb.put(3.toByte)            // host: unix
       val dc = new java.util.zip.CRC32; dc.update(data)
       bb.putInt(dc.getValue.toInt)
       bb.putInt(0x50414220)       // fixed DOS mtime: deterministic bytes
-      bb.put(20.toByte)           // unpVer 2.0
-      bb.put(0x30.toByte)         // method: store
+      bb.put(if (compressed) 29.toByte else 20.toByte) // unpVer
+      bb.put(if (compressed) 0x33.toByte else 0x30.toByte) // method
       bb.putShort(nb.length.toShort)
       bb.putInt(0x81a4)           // attr 0644
       bb.put(nb)

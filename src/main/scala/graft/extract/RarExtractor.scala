@@ -46,6 +46,13 @@ import java.util.zip.CRC32
   *    fixture byte-for-byte). */
 object Rar {
 
+  /** mime_hint planted on child rows for members whose bodies cannot be
+    * decoded (LZSS/PPMd — no public spec): Dispatch short-circuits these
+    * into the reference's warn-and-skip failure ("Failed to unpack [%s]",
+    * `packages/rar.py:28-30`) so the skip is a visible failure row, not a
+    * silent hole in the corpus. */
+  val UnsupportedMemberMime = "application/x-rar-member-unsupported"
+
   final case class Member(name: String, unpSize: Long, packSize: Long,
                           method: Int, encrypted: Boolean, directory: Boolean,
                           data: Option[Array[Byte]], linkTarget: Option[String])
@@ -327,9 +334,16 @@ object RarExtractor extends Extractor {
           // rarfile materializes out-of-root symlinks as plain files whose
           // content is the target path (tests/test_packages.py:40-57)
           children += ChildDoc(nm, "", target.getBytes(StandardCharsets.UTF_8))
-        case None =>
-          // compressed/encrypted members have no data: warn-and-skip contract
-          m.data.foreach(d => children += ChildDoc(nm, "", d))
+        case None => m.data match {
+          case Some(d) => children += ChildDoc(nm, "", d)
+          case None if !m.directory =>
+            // compressed/encrypted member: the reference warns and skips
+            // (`rar.py:28-30`); we surface the same skip as a failure row
+            // via the planted mime hint (bytes empty, never decodable)
+            children += ChildDoc(nm, Rar.UnsupportedMemberMime,
+              Array.emptyByteArray)
+          case None => ()
+        }
       }
     }
     ExtractionResult.success(schema, children = children.result())

@@ -59,6 +59,13 @@ object Dispatch {
   /** auction + delegate; auction failures become failure rows on the
     * generic Document schema (`manager.py:226-234`). */
   def ingest(fileName: String, mimeHint: String, bytes: Array[Byte]): Ingested = {
+    // RAR members whose codec has no public spec: the parent extractor
+    // planted this hint; reproduce the reference's warn-and-skip
+    // (`packages/rar.py:28-30`) as a deterministic failure row
+    if (mimeHint == Rar.UnsupportedMemberMime)
+      return Ingested("RARIngestor", mimeHint,
+        ExtractionResult.failure("Document",
+          s"Failed to unpack [$fileName]: compressed RAR member (no public codec spec)"))
     Classifier.auction(fileName, mimeHint, bytes) match {
       case Left(err) =>
         Ingested("", if (mimeHint == null) "" else mimeHint,

@@ -174,9 +174,13 @@ object QueryLib extends Serializable {
         (s"doc$id.7z", graft.extract.SevenZipWriter.write(
           s"inner$id.txt", text.getBytes("UTF-8")))
       case "rar" =>
+        // c.bin is an LZSS-compressed member (opaque packed bytes): the
+        // extractor lists it and emits a warn-and-skip failure child
         (s"doc$id.rar", CorpusGen.renderRar(Seq(
           "a.txt" -> text.getBytes("UTF-8"),
-          "b.txt" -> s"copy of doc $id".getBytes("UTF-8"))))
+          "b.txt" -> s"copy of doc $id".getBytes("UTF-8"),
+          "c.bin" -> Array.tabulate(64)(i => ((id * 31 + i) & 0xff).toByte)),
+          compressedNames = Set("c.bin")))
       case "ocr" =>
         // OCR fixture mix: even ids → BMP glyph raster (ids ≡ 6 mod 10
         // undersized, below the 2 KiB OCR window → engine never runs);

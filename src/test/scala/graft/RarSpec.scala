@@ -31,6 +31,29 @@ class RarSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(c.bytes, b))
   }
 
+  test("compressed member: listed, skipped with a failure child (rar.py:28-30 warn-and-skip)") {
+    val rar = CorpusGen.renderRar(Seq(
+      "keep.txt" -> "stored body".getBytes(UTF_8),
+      "packed.dat" -> Array.tabulate(48)(_.toByte)),
+      compressedNames = Set("packed.dat"))
+    val arch = Rar.parse(rar)
+    assert(arch.members.map(_.name) == Vector("keep.txt", "packed.dat"))
+    val packed = arch.members.find(_.name == "packed.dat").get
+    assert(packed.method != 0x30 && packed.data.isEmpty)
+    val res = RarExtractor.extract(RawDoc("r", "x.rar", "application/x-rar", rar))
+    assert(res.status == ExtractionResult.Success)
+    val byName = res.children.map(c => c.file_name -> c).toMap
+    assert(new String(byName("keep.txt").bytes, UTF_8) == "stored body")
+    assert(byName("packed.dat").mime_hint == Rar.UnsupportedMemberMime)
+    assert(byName("packed.dat").bytes.isEmpty)
+    // dispatch turns the planted hint into the reference's failure text
+    val ing = graft.pipeline.Dispatch.ingest("packed.dat",
+      Rar.UnsupportedMemberMime, Array.emptyByteArray)
+    assert(ing.ingestor == "RARIngestor")
+    assert(ing.result.status == ExtractionResult.Failure)
+    assert(ing.result.error.contains("Failed to unpack [packed.dat]"))
+  }
+
   test("RAR4 header CRCs in the writer satisfy the reader's check") {
     // flip one header byte → the CRC check must reject the archive
     val bytes = CorpusGen.renderRar(Seq("x.txt" -> "data".getBytes(UTF_8)))
