@@ -88,10 +88,16 @@ object Bench {
     results += ("pipeline_extract" -> pipeSec)
     val docsPerSec = processed / math.max(pipeSec, 1e-9)
 
-    // content-hash dedup stage over the same pending corpus (the
-    // conversion/OCR-cache analogue): measured, not just documented —
-    // the semi-join strategy is AQE's choice (no broadcast hint)
-    if (!sys.env.contains("SPARK_GRAFT_PIPELINE_ONLY")) {
+    // Shuffle-heavy stages. These exchanges are where local[N] differs
+    // most from a real cluster, so the N-vs-4N scaling series must
+    // include them (SPARK_GRAFT_SHUFFLE_STAGES=1 keeps them in the
+    // otherwise pipeline-only scaling runs).
+    val shuffleStages = !sys.env.contains("SPARK_GRAFT_PIPELINE_ONLY") ||
+      sys.env.contains("SPARK_GRAFT_SHUFFLE_STAGES")
+    if (shuffleStages) {
+      // content-hash dedup over the same pending corpus (the
+      // conversion/OCR-cache analogue): the semi-join strategy is AQE's
+      // choice (no broadcast hint)
       val dedupRuns = (1 to 3).map { _ =>
         time { Pipeline.dedupByContent(spark, pending0)._1.count() }._1
       }
@@ -99,13 +105,55 @@ object Bench {
     }
     pending0.unpersist()
 
+    if (shuffleStages) {
+      // full near-dup composition (exact collapse → minhash → LSH band
+      // shuffle → connected components → survivor join) over a tiled text
+      // corpus: documents.parquet replicated TILE× — even k are exact
+      // copies (exact-collapse load), odd k are UNIQUE token-drop mutants
+      // (a per-copy salt token keeps them distinct, the realistic
+      // mostly-unique-corpus shape), so the signature pass and the banded
+      // exchange carry volume proportional to the knob instead of
+      // collapsing to a few thousand distinct bodies. All generated
+      // distributed (narrow flatMap).
+      import spark.implicits._
+      val tile = sys.env.get("SPARK_GRAFT_DEDUP_TILE")
+        .map(_.toInt).getOrElse(40)
+      val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+      val tiled = baseDocs.as[(Long, String)].flatMap { case (id, text0) =>
+        val text = if (text0 == null) "" else text0
+        (0 until tile).iterator.map { k =>
+          val t =
+            if (k == 0 || k % 2 == 0) text
+            else {
+              val toks = text.split(" ")
+              toks.zipWithIndex
+                .collect { case (w, i) if i % (9 + k % 7) != 0 => w }
+                .mkString(" ") + s" u${id}x$k"
+            }
+          (id + 10000000L * k, t)
+        }
+      }.toDF("id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      tiled.count() // synthesis outside the clock
+      val corpusRuns = (1 to 2).map { _ =>
+        time {
+          graft.ops.Dedup.dedupCorpus(spark, tiled, "id", "text", 0.8)
+            .filter(col("keep")).count()
+        }._1
+      }
+      results += ("dedup_corpus" -> corpusRuns.min)
+      tiled.unpersist()
+    }
+
     // representative operator queries (same entries the verifier checks);
     // best-of-3 per query — single-shot timings on this host are noise
     // (hypervisor steal; see BASELINE.md methodology).
     // SPARK_GRAFT_PIPELINE_ONLY=1 skips them for pure scaling measurements
     val benchQueries =
       if (sys.env.contains("SPARK_GRAFT_PIPELINE_ONLY")) Seq.empty[String]
-      else Seq("x_html", "x_zip_children", "t_quality",
+      else Seq("x_html", "x_zip_children", "x_ocr", "t_ocr_cache",
+        "t_quality",
         "t_token_count", "t_lang_id", "t_minhash_lsh", "t_simhash",
         "s_ann_brute", "s_ann_lsh", "s_ann_ivf", "s_ann_ivfpq", "a_patterns",
         "a_thread_join")

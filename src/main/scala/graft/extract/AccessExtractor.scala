@@ -329,7 +329,16 @@ object Jet {
   * reference, so reader and writer pin each other against the published
   * mdbtools layout). Emits a header page, an MSysObjects catalog
   * (Id/Type/Flags fixed longs + Name UCS-2 text) and one user table of
-  * variable-length UCS-2 text columns. */
+  * variable-length UCS-2 text columns.
+  *
+  * Real-world parity risk (acknowledged): the Jet4 row-trailer layout and
+  * TDEF offsets here follow the mdbtools HACKING notes, but are pinned
+  * only by this self-roundtrip — if genuine Access 2000-2003 files differ
+  * (e.g. var-count field placement), cells would decode empty rather than
+  * crash (the reader's bounds checks guarantee that degradation). When a
+  * redistributable real fixture is obtainable (any of mdbtools' BSD-
+  * licensed test .mdb files — none are vendored into /root/reference),
+  * add it to FixtureSpec alongside the Jet3 Books_be.mdb fixture. */
 object Jet4Writer {
   private val PageSize = 4096
 

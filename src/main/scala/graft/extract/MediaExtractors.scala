@@ -42,9 +42,12 @@ object ImageExtractor extends Extractor {
   }
 }
 
-/** TIFF → reference rasterizes to PDF pages + OCR (`media/tiff.py:10-43`,
-  * subprocess, out of scope); we emit the image span plus the EXIF/IFD
-  * metadata the TIFF container itself carries (same IFD walker as JPEG). */
+/** TIFF → reference rasterizes to PDF pages + OCR (`media/tiff.py:10-43`;
+  * the tiff2pdf subprocess is out of scope); we emit the image span plus
+  * the EXIF/IFD metadata the TIFF container itself carries (same IFD
+  * walker as JPEG), and run the payload through the same OCR plumbing —
+  * real TIFF rasters come back empty from the stand-in engine, preserving
+  * the no-text contract, while the window/cache path stays exercised. */
 object TiffExtractor extends Extractor {
   val name = "TIFFIngestor"
   val schema = "Pages"
@@ -57,8 +60,13 @@ object TiffExtractor extends Extractor {
     if (gen.nonEmpty) props += ("generator" -> gen)
     exif.dateTimeOriginal.foreach(d =>
       props += ("authoredAt" -> Seq(Exif.exifDateToIso(d))))
+    val ocrSpan = graft.ocr.Ocr.extractOcrText(doc.bytes) match {
+      case Some(text) if filterText(text) =>
+        Vector(Span(SpanKinds.Text, text, "", 1))
+      case _ => Vector.empty
+    }
     ExtractionResult.success(schema,
-      Vector(Span(SpanKinds.Image, "", ref, 0)), props.result())
+      Vector(Span(SpanKinds.Image, "", ref, 0)) ++ ocrSpan, props.result())
   }
 }
 

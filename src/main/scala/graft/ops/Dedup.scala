@@ -493,10 +493,41 @@ object Dedup {
     *    label-job + change-count-job.
     */
   def connectedComponents(spark: SparkSession, links: DataFrame,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          localThreshold: Long = 2000000L): DataFrame = {
     import spark.implicits._
     val edges = links.select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
+    // Hybrid fast path: below `localThreshold` edges, collect and run
+    // union-find on the driver (bounded: 16 B/edge → ≤32 MB at the
+    // default) — one job instead of O(diameter) iteration rounds, which
+    // the probe measured as a ~3 s serial floor regardless of cores. The
+    // iterative path below is the at-scale shape; star pairing keeps real
+    // dedup link sets small relative to corpus size, so most calls take
+    // the fast path and giant graphs still distribute. The labels are
+    // identical either way (min reachable id), so oracles don't care.
+    if (localThreshold > 0 &&
+        edges.limit(localThreshold.toInt + 1).count() <= localThreshold) {
+      val es = edges.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent.getOrElse(x, x)
+          parent(x) = parent.getOrElse(p, p) // path halving
+          x = parent.getOrElse(x, x)
+        }
+        x
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        // union by min id so the final relabel pass is a single find()
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      return nodes.toSeq.map(id => (id, find(id)))
+        .toDF("id", "component")
+    }
     val undirected = edges.unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

@@ -167,16 +167,44 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == ((4L, true)), got)
   }
 
-  test("connected components: chains, stars, and cross-links converge to min id") {
+  test("dedupCorpus pairing=all recovers transitive chains star pairing can under-merge") {
+    // A~B and B~C are near-dups but A~C is below threshold: single-link
+    // closure should still merge all three. With star pairing the bucket
+    // representative check can miss one hop; pairing="all" must not.
+    val base = (0 until 80).map(i => s"w$i")
+    val a = base.mkString(" ")
+    val b = (base.drop(12) ++ (0 until 12).map(i => s"x$i")).mkString(" ")
+    val c = (base.drop(24) ++ (0 until 24).map(i => s"x$i")).mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "body")
+    val all = Dedup.dedupCorpus(spark, df, "doc_id", "body", 0.5,
+        verify = "exact", pairing = "all")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // exact-jaccard: sim(a,b)≈0.74, sim(b,c)≈0.74, sim(a,c)≈0.52 — all
+    // linked at 0.5, so one cluster either way; tighten to 0.6 to isolate
+    // the chain case
+    val chained = Dedup.dedupCorpus(spark, df, "doc_id", "body", 0.6,
+        verify = "exact", pairing = "all")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(all.values.toSet == Set(1L))
+    assert(chained == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"transitive closure through B must merge A,B,C: $chained")
+  }
+
+  test("connected components: chains, stars, and cross-links converge to min id (both paths)") {
     // chain 1-2-3-4, star 10-{11,12,13}, bridge 4-10 => all one component (1);
     // separate pair 20-21 => component 20
     val links = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
       (13L, 10L), (4L, 10L), (20L, 21L)).toDF("id_a", "id_b")
+    // default: bounded driver union-find fast path
     val got = Dedup.connectedComponents(spark, links)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert((1L to 4L).forall(got(_) == 1L), got)
     assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 1L), got)
     assert(got(20L) == 20L && got(21L) == 20L, got)
+    // the distributed min-label path must produce identical labels
+    val gotIter = Dedup.connectedComponents(spark, links, localThreshold = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotIter == got, s"paths disagree: $gotIter vs $got")
   }
 
   test("connected components: exactly one Spark job per iteration (convergence check rides the label job)") {
@@ -197,7 +225,8 @@ class OpsSpec extends AnyFunSuite {
       // shuffle join so job count == action count
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.sparkContext.setJobGroup(group, "cc job count", interruptOnCancel = false)
-      try Dedup.connectedComponents(spark, links, maxIter = maxIter)
+      try Dedup.connectedComponents(spark, links, maxIter = maxIter,
+        localThreshold = 0) // force the iterative (at-scale) path
       finally {
         spark.sparkContext.clearJobGroup()
         spark.conf.set("spark.sql.adaptive.enabled", aqe0)
@@ -224,7 +253,7 @@ class OpsSpec extends AnyFunSuite {
     val saved = System.err
     val got = try {
       System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
-      Dedup.connectedComponents(spark, links, maxIter = 2)
+      Dedup.connectedComponents(spark, links, maxIter = 2, localThreshold = 0)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     } finally System.setErr(saved)
     assert(errBuf.toString("UTF-8").contains("did NOT converge"), errBuf.toString)
