@@ -194,9 +194,9 @@ object XmlExtractor extends Extractor {
       nl.item(i) match {
         case e: org.w3c.dom.Element => kids += convert(e, depth + 1)
         case t: org.w3c.dom.Text =>
+          // CDATASection extends Text in DOM, so this arm covers both
           val s = t.getData
           if (s != null && s.nonEmpty) kids += HText(s)
-        case c: org.w3c.dom.CDATASection => kids += HText(c.getData)
         case _ => ()
       }
       i += 1

@@ -66,7 +66,7 @@ object Dedup {
       as
     })
 
-  def minhashSignature(shingleHashes: Iterable[Long], k: Int): Array[Long] = {
+  def minhashSignature(shingleHashes: IterableOnce[Long], k: Int): Array[Long] = {
     // k independent splitmix64-finalizer hashes (Steele, Lea & Flood 2014;
     // the finalizer is a measured-avalanche 64-bit mixer): v_i =
     // mix64(x ^ seed_i). ~3x cheaper per component than the previous
@@ -76,7 +76,7 @@ object Dedup {
     // downstream, and the t_minhash_lsh oracle is exhaustive-jaccard.
     val seeds = hashCoeffs(k)
     val sig = Array.fill(k)(Long.MaxValue)
-    for (x0 <- shingleHashes) {
+    for (x0 <- shingleHashes.iterator) {
       var i = 0
       while (i < k) {
         var z = x0 ^ seeds(i)
@@ -109,9 +109,9 @@ object Dedup {
     * (t_minhash_lsh 3.2 s → 10.8 s) with recall unchanged (60/60 oracle
     * still green). Hence scheme="kxh" stays the default; switch to "oph"
     * for long-document corpora where shingles dominate k. */
-  def minhashSignatureOph(shingleHashes: Iterable[Long], k: Int): Array[Long] = {
+  def minhashSignatureOph(shingleHashes: IterableOnce[Long], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
-    for (x0 <- shingleHashes) {
+    for (x0 <- shingleHashes.iterator) {
       val x = (x0 & 0x7fffffffffffffffL) % P
       val bin = (x % k).toInt
       val v = x / k
@@ -198,8 +198,8 @@ object Dedup {
       val sh = TextOps.shingles(toks, shingleN)
       if (sh.isEmpty) null
       else if (scheme == "oph")
-        minhashSignatureOph(sh.iterator.map(hashToken).toIterable, k)
-      else minhashSignature(sh.iterator.map(hashToken).toIterable, k)
+        minhashSignatureOph(sh.iterator.map(hashToken), k)
+      else minhashSignature(sh.iterator.map(hashToken), k)
     }
     // band keys per doc
     val banded = docs.mapPartitions(_.flatMap { case (id, text) =>
