@@ -496,6 +496,18 @@ object SparkEntry {
       TextOps.repetitionStats(s, QueryLib.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // Gopher-rule keep/reject composition over the same signals (first
+    // failing rule is the reason; engine-portable integer milli math)
+    "t_filter_gopher" -> ((s, dir) => {
+      TextOps.filterGopher(s, QueryLib.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // corpus vocabulary: token -> (tf, df), top-100 by tf with
+    // deterministic tiebreak — the tokenizer-training word count
+    "t_vocab" -> ((s, dir) => {
+      TextOps.vocab(s, QueryLib.documents(s, dir), "doc_id", "text", 100)
+        .orderBy("rank")
+    }),
     "t_quality" -> ((s, dir) => {
       val cols = TextOps.qualityColumns(col("text"))
         .map { case (n, c) => c.as(n) }
@@ -1169,6 +1181,68 @@ object SparkEntry {
         |         ELSE 0 END AS BIGINT) AS top_bigram_ratio_milli
         |FROM g LEFT JOIN bm ON g.doc_id = bm.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "t_filter_gopher" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS BIGINT) AS n_chars,
+        |         list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lines,
+        |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
+        |         CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n_chars, n_punct, lines, toks,
+        |         CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_filter(toks, x -> list_contains(
+        |           ['the','a','an','and','or','of','to','in','is','it','on',
+        |            'for','with','as','at','by','that','this','be','are'], x))) AS BIGINT) AS n_stop,
+        |         list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i+1]) AS bgs,
+        |         list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tgs
+        |  FROM t),
+        |bi AS (
+        |  SELECT doc_id, bg, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(bgs) AS bg FROM g) GROUP BY doc_id, bg),
+        |bm AS (SELECT doc_id, max(cnt) AS maxf FROM bi GROUP BY doc_id),
+        |m AS (
+        |  SELECT g.doc_id AS doc_id, n_tokens, n_stop,
+        |         CASE WHEN n_tokens > 0 THEN n_chars * 1000 // n_tokens ELSE 0 END AS avg_tok_milli,
+        |         CASE WHEN n_chars > 0 THEN n_punct * 1000 // n_chars ELSE 0 END AS punct_milli,
+        |         CASE WHEN len(lines) > 0 THEN
+        |           (len(lines) - len(list_distinct(lines))) * 1000 // len(lines)
+        |           ELSE 0 END AS dup_line_milli,
+        |         CASE WHEN len(tgs) > 0 THEN
+        |           (len(tgs) - len(list_distinct(tgs))) * 1000 // len(tgs)
+        |           ELSE 0 END AS dup_tri_milli,
+        |         CASE WHEN len(bgs) > 0 THEN
+        |           coalesce(bm.maxf, 0) * 1000 // len(bgs)
+        |           ELSE 0 END AS top_bi_milli
+        |  FROM g LEFT JOIN bm ON g.doc_id = bm.doc_id),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_tokens < 50 THEN 'too_few_tokens'
+        |         WHEN n_tokens > 100000 THEN 'too_many_tokens'
+        |         WHEN avg_tok_milli < 3000 OR avg_tok_milli > 10000 THEN 'bad_mean_word_len'
+        |         WHEN n_stop < 2 THEN 'too_few_stopwords'
+        |         WHEN punct_milli > 300 THEN 'high_punct_ratio'
+        |         WHEN dup_line_milli > 300 THEN 'high_dup_lines'
+        |         WHEN dup_tri_milli > 300 THEN 'high_dup_trigrams'
+        |         WHEN top_bi_milli > 200 THEN 'top_bigram_heavy'
+        |         ELSE NULL END AS reason
+        |  FROM m)
+        |SELECT doc_id, reason IS NULL AS keep, reason
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "t_vocab" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |a AS (
+        |  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |  FROM tok GROUP BY token)
+        |SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank,
+        |       token, tf, df
+        |FROM a ORDER BY tf DESC, token LIMIT 100""".stripMargin,
     "t_quality" ->
       """WITH t AS (
         |  SELECT doc_id,

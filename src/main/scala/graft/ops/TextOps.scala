@@ -201,6 +201,102 @@ object TextOps {
         "dup_trigram_ratio_milli", "top_bigram_ratio_milli")
   }
 
+  /** Gopher-rule corpus filter (Rae et al. 2021 §A1.1, public): the
+    * keep/reject decision a pre-training pipeline runs AFTER computing the
+    * quality/repetition signals. One narrow mapPartitions computing every
+    * signal per doc (no join between a quality stage and a repetition
+    * stage — both derive from the same tokens, so a second pass + shuffle
+    * would be pure waste at 100 TB); output (id, keep, reason) where
+    * reason is the FIRST failing rule in a fixed order (engine-portable:
+    * the oracle replays the same metric SQL and CASE chain).
+    *
+    * Rule order and defaults: too_few_tokens (<50), too_many_tokens
+    * (>100000), bad_mean_word_len (mean token length outside [3,10]
+    * chars), too_few_stopwords (<2), high_punct_ratio (punct >30% of
+    * chars), high_dup_lines (>30% duplicate lines), high_dup_trigrams
+    * (>30% duplicate trigrams), top_bigram_heavy (most frequent bigram
+    * >20% of bigrams). Integer milli-ratio math everywhere, matching
+    * [[qualityColumns]] / [[repetitionStats]] exactly. */
+  def filterGopher(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                   idCol: String, textCol: String,
+                   minTokens: Int = 50, maxTokens: Int = 100000): DataFrame = {
+    import spark.implicits._
+    val stops = stopwords.toSet
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text0) =>
+        val text = if (text0 == null) "" else text0
+        val nChars = text.length.toLong
+        val toks = text.split("""\s+""").filter(_.nonEmpty)
+        val nTok = toks.length.toLong
+        val nStop = toks.count(stops.contains).toLong
+        val nPunct = text.count(c =>
+          (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+          (c >= '[' && c <= '`') || (c >= '{' && c <= '~')).toLong
+        val avgTokLenMilli = if (nTok > 0) nChars * 1000L / nTok else 0L
+        val punctMilli = if (nChars > 0) nPunct * 1000L / nChars else 0L
+        val lines = text.split('\n').iterator.filter(_.nonEmpty).toArray
+        val dupLineMilli =
+          if (lines.nonEmpty)
+            (lines.length - lines.distinct.length).toLong * 1000L / lines.length
+          else 0L
+        def dupAndTopMilli(n: Int): (Long, Long) = {
+          val total = math.max(0, toks.length - n + 1)
+          if (total == 0) (0L, 0L)
+          else {
+            val freq = new java.util.HashMap[String, Int]()
+            var maxF = 0
+            var i = 0
+            while (i < total) {
+              val f = freq.merge(toks.slice(i, i + n).mkString(" "), 1, (a, b) => a + b)
+              if (f > maxF) maxF = f
+              i += 1
+            }
+            ((total - freq.size).toLong * 1000L / total,
+              maxF.toLong * 1000L / total)
+          }
+        }
+        val (dupTriMilli, _) = dupAndTopMilli(3)
+        val (_, topBiMilli) = dupAndTopMilli(2)
+        val reason =
+          if (nTok < minTokens) "too_few_tokens"
+          else if (nTok > maxTokens) "too_many_tokens"
+          else if (avgTokLenMilli < 3000L || avgTokLenMilli > 10000L) "bad_mean_word_len"
+          else if (nStop < 2) "too_few_stopwords"
+          else if (punctMilli > 300L) "high_punct_ratio"
+          else if (dupLineMilli > 300L) "high_dup_lines"
+          else if (dupTriMilli > 300L) "high_dup_trigrams"
+          else if (topBiMilli > 200L) "top_bigram_heavy"
+          else null
+        (id, reason == null, reason)
+      })
+      .toDF(idCol, "keep", "reason")
+  }
+
+  /** Corpus vocabulary / token statistics — the tokenizer-training input:
+    * token → (total occurrences, document frequency), top-k by tf with a
+    * deterministic (tf desc, token asc) tiebreak.
+    *
+    * Scale shape: one explode + one groupBy on the token with map-side
+    * partial aggregation (the classic word-count exchange: shuffle volume
+    * = distinct tokens per map partition, never rows), then top-k via
+    * TakeOrdered (no global sort materialization); the final row_number
+    * runs over the k survivors only. countDistinct(doc) is the built-in
+    * two-phase distinct aggregate. */
+  def vocab(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+            idCol: String, textCol: String, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+        explode(tokenize(col(textCol))).as("token"))
+    val agg = toks.groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("id")).as("df"))
+    val top = agg.orderBy(col("tf").desc, col("token").asc).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("tf").desc, col("token").asc))
+          .cast("long"))
+      .select(col("rank"), col("token"), col("tf"), col("df"))
+  }
+
   /** Language ID over 26 languages: script vote + Cavnar–Trenkle trigram
     * profiles (see [[LangId]]), standing in for the reference's fastText
     * lid.176 call at `/root/reference/ingestors/analysis/language.py:10-26`.

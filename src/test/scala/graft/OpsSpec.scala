@@ -413,6 +413,45 @@ class OpsSpec extends AnyFunSuite {
     assert(!win.exists(_._1 == 3L)) // empty text -> no windows
   }
 
+  test("gopher filter: hand-built docs trip specific rules; clean doc keeps") {
+    // clean: 60 distinct tokens incl. 2 stopwords, mean len ~6, no repeats
+    val clean = ((0 until 58).map(i => s"word$i") ++ Seq("the", "a")).mkString(" ")
+    // mean word length 2 chars (< 3): 60 × "xx"
+    val shortToks = (0 until 60).map(_ => "xx").mkString(" ")
+    // punct-heavy but mean length in range and 2 stopwords present
+    val punct = (Seq("the", "a") ++ (0 until 58).map(_ => "a!!")).mkString(" ")
+    // 6 identical 10-token lines (3-char filler keeps mean ≥ 3)
+    val line = (Seq("the", "a") ++ (1 to 8).map(i => f"w$i%02d")).mkString(" ")
+    val dupLines = Seq.fill(6)(line).mkString("\n")
+    // one line, dominated by a repeated 3-token phrase
+    val dupTri = (Seq("the", "a") ++ Seq.fill(18)(Seq("xxx", "yyy", "zzz")).flatten).mkString(" ")
+    val docs = Seq(
+      (1L, clean), (2L, "short doc the a"), (3L, shortToks),
+      (4L, punct), (5L, dupLines), (6L, dupTri)).toDF("doc_id", "body")
+    val got = TextOps.filterGopher(spark, docs, "doc_id", "body")
+      .collect().map(r => (r.getLong(0), (r.getBoolean(1), Option(r.getString(2))))).toMap
+    assert(got(1L) == ((true, None)), got(1L))
+    assert(got(2L) == ((false, Some("too_few_tokens"))), got(2L))
+    assert(got(3L) == ((false, Some("bad_mean_word_len"))), got(3L))
+    assert(got(4L) == ((false, Some("high_punct_ratio"))), got(4L))
+    assert(got(5L) == ((false, Some("high_dup_lines"))), got(5L))
+    assert(got(6L) == ((false, Some("high_dup_trigrams"))), got(6L))
+  }
+
+  test("vocab: tf/df counts and deterministic tf-desc/token-asc ranking") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry cherry banana"),
+      (3L, "banana")).toDF("doc_id", "body")
+    val rows = TextOps.vocab(spark, docs, "doc_id", "body", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // apple tf=3 df=2; banana tf=3 df=3; cherry tf=2 df=1
+    assert(rows.toSeq == Seq(
+      (1L, "apple", 3L, 2L),
+      (2L, "banana", 3L, 3L),
+      (3L, "cherry", 2L, 1L)), rows.toSeq)
+  }
+
   test("repetition stats: hand-computed duplicate-line/ngram fractions") {
     val text = "spam ham spam ham spam ham\nunique line\nunique line"
     // lines: 3 non-empty, dup 1 → 333; toks span lines: 10 tokens
