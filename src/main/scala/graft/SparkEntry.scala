@@ -496,6 +496,29 @@ object SparkEntry {
       TextOps.repetitionStats(s, QueryLib.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // benchmark decontamination: mark train docs sharing any exact
+    // 13-token gram with the eval set (every 20th doc, tokens 6..40 —
+    // a planted substring so overlap is real, not whole-doc identity)
+    "t_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = QueryLib.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val toks = graft.core.TextUtil.tokens(if (t == null) "" else t)
+          (id, toks.slice(5, 40).mkString(" "))
+        }.toDF("doc_id", "text")
+      TextOps.decontaminate(s, docs, bench, "doc_id", "text", 13)
+        .orderBy("doc_id")
+    }),
+    // per-source quota: top-10 docs per source by size (window top-N)
+    "t_domain_cap" -> ((s, dir) => {
+      TextOps.capPerSource(QueryLib.documents(s, dir)
+          .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+            col("n_chars")),
+        "doc_id", "source", "n_chars", 10)
+        .orderBy("source", "rk")
+    }),
     // Gopher-rule keep/reject composition over the same signals (first
     // failing rule is the reason; engine-portable integer milli math)
     "t_filter_gopher" -> ((s, dir) => {
@@ -1181,6 +1204,31 @@ object SparkEntry {
         |         ELSE 0 END AS BIGINT) AS top_bigram_ratio_milli
         |FROM g LEFT JOIN bm ON g.doc_id = bm.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "t_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 11),
+        |    i -> array_to_string(t[i:i+12], ' ')))) AS gram
+        |  FROM toks WHERE len(t) >= 13),
+        |bt AS (SELECT doc_id, t[6:40] AS t FROM toks WHERE doc_id % 20 = 0),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(t) - 11),
+        |    i -> array_to_string(t[i:i+12], ' ')))) AS gram
+        |  FROM bt WHERE len(t) >= 13),
+        |c AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (gram))
+        |SELECT toks.doc_id AS doc_id, c.doc_id IS NOT NULL AS contaminated
+        |FROM toks LEFT JOIN c ON toks.doc_id = c.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "t_domain_cap" ->
+      """SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 10
+        |ORDER BY source, rk""".stripMargin,
     "t_filter_gopher" ->
       """WITH t AS (
         |  SELECT doc_id,

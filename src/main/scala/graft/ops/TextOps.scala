@@ -297,6 +297,65 @@ object TextOps {
       .select(col("rank"), col("token"), col("tf"), col("df"))
   }
 
+  /** Benchmark decontamination (the GPT-3-style 13-gram overlap rule,
+    * Brown et al. 2020 Appendix C, public): mark every training document
+    * sharing at least one exact n-token gram with the evaluation set.
+    * Output (id, contaminated).
+    *
+    * Scale shape: distinct-gram explode on the train side (same shape as
+    * [[sharedNgramStats]]); the benchmark side is DISTINCT grams of the
+    * eval corpus — small by construction (benchmarks are thousands of
+    * documents, not billions), so Catalyst broadcasts it and the
+    * "contaminated" semi-join never shuffles the train side; at 100 TB
+    * the gram would be a 64-bit hash (8-byte keys), here the literal gram
+    * string keys both engines identically for the oracle. */
+  def decontaminate(spark: org.apache.spark.sql.SparkSession,
+                    train: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    import spark.implicits._
+    def gramsOf(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast("long"), col(textCol))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val toks = graft.core.TextUtil.tokens(if (t == null) "" else t)
+          if (toks.length < n) Iterator.empty
+          else toks.sliding(n).map(_.mkString(" ")).toSet.iterator
+            .map((g: String) => (id, g))
+        }
+        .toDF("id", "gram")
+    val benchGrams = gramsOf(bench).select(col("gram")).distinct()
+    val contaminated = gramsOf(train)
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .select(col("id")).distinct()
+      .withColumn("contaminated", lit(true))
+    train.select(col(idCol).cast("long").as("id"))
+      .join(contaminated, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+
+  /** Per-source document cap — the per-domain quota every web-corpus
+    * recipe applies (don't let one crawl domain dominate the mix): keep
+    * the top `cap` documents per source, ranked by `orderCol` descending
+    * with id ascending as the deterministic tiebreak. Output
+    * (id, source, rk) for the kept rows.
+    *
+    * Scale shape: one hash exchange on the source + per-partition sort —
+    * the standard window top-N. A pathologically hot source serializes
+    * into one task; at that scale pre-filter with an approximate
+    * per-source count and salt the giants (two-phase top-N) before the
+    * exact window — the exact window over survivors stays correct because
+    * top-N is a monotone filter. */
+  def capPerSource(df: DataFrame, idCol: String, sourceCol: String,
+                   orderCol: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+      .select(col(idCol), col(sourceCol), col("rk"))
+  }
+
   /** Language ID over 26 languages: script vote + Cavnar–Trenkle trigram
     * profiles (see [[LangId]]), standing in for the reference's fastText
     * lid.176 call at `/root/reference/ingestors/analysis/language.py:10-26`.

@@ -452,6 +452,36 @@ class OpsSpec extends AnyFunSuite {
       (3L, "cherry", 2L, 1L)), rows.toSeq)
   }
 
+  test("decontaminate: only docs sharing an exact 13-gram with the benchmark are marked") {
+    val shared = (0 until 13).map(i => s"s$i").mkString(" ")
+    val train = Seq(
+      (1L, s"lead tokens $shared trailing stuff"),      // contains the gram
+      (2L, (0 until 20).map(i => s"u$i").mkString(" ")), // clean
+      (3L, shared.split(" ").dropRight(1).mkString(" ") + " different"), // 12 shared only
+      (4L, "too short")).toDF("doc_id", "body")
+    val bench = Seq((100L, s"benchmark context $shared more context"))
+      .toDF("doc_id", "body")
+    val got = TextOps.decontaminate(spark, train, bench, "doc_id", "body")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false), got)
+    // benchmark side must broadcast: the train explode never shuffles
+    val plan = TextOps.decontaminate(spark, train, bench, "doc_id", "body")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan.take(1500))
+  }
+
+  test("capPerSource: top-N per source by order column, deterministic tiebreak") {
+    val docs = (1L to 25L).map(i => (i, s"src${i % 2}", 100L - (i % 7)))
+      .toDF("doc_id", "source", "sz")
+    val got = TextOps.capPerSource(docs, "doc_id", "source", "sz", 3)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    assert(got.length == 6)
+    // src1 = odd ids; sz=100 at ids 7,21; sz=99 at ids 1,15 →
+    // top-3 by (sz desc, id asc) = 7, 21, 1
+    assert(got.filter(_._1 == "src1").sortBy(_._3).map(_._2).toSeq == Seq(7L, 21L, 1L))
+  }
+
   test("repetition stats: hand-computed duplicate-line/ngram fractions") {
     val text = "spam ham spam ham spam ham\nunique line\nunique line"
     // lines: 3 non-empty, dup 1 → 333; toks span lines: 10 tokens
