@@ -181,11 +181,20 @@ object Raster {
   }
 }
 
+/** Engine interface — the reference switches between `LocalOCRService`
+  * (Tesseract) and `GoogleOCRService` (Vision API) via settings
+  * (`ocr.py:35-40`); everything around the engine (window, cache,
+  * triggers) is engine-agnostic, and so is ours. Contract: return "" for
+  * undecodable input, never throw. */
+trait OcrEngine extends Serializable {
+  def extractText(data: Array[Byte]): String
+}
+
 /** The stand-in engine: template-match each character cell against the
   * glyph table (nearest by Hamming distance over the 35 dots). Mirrors
   * the reference's `LocalOCRService.extract_text` contract: unopenable
   * image data → "" (`ocr.py:90-94`). */
-object StubOcr {
+object StubOcr extends OcrEngine {
   import Glyphs._
 
   /** Engine invocation counter — observable by cache tests (the reference
@@ -270,8 +279,12 @@ object Ocr {
   def clearCacheForTests(): Unit = memo.clear()
 
   /** `extract_ocr_text` parity: None outside the size window, cached by
-    * content+languages, None for empty text (normality.stringify). */
-  def extractOcrText(data: Array[Byte], languages: Seq[String] = Nil): Option[String] = {
+    * content+languages, None for empty text (normality.stringify). The
+    * engine is pluggable (reference `settings._ocr_service`); one engine
+    * is active per deployment, so the cache key stays engine-free as in
+    * the reference. */
+  def extractOcrText(data: Array[Byte], languages: Seq[String] = Nil,
+                     engine: OcrEngine = StubOcr): Option[String] = {
     if (data == null) return None
     if (!(MinSize < data.length && data.length < MaxSize)) return None
     val key = cacheKey(data, languages)
@@ -279,7 +292,7 @@ object Ocr {
     val text =
       if (cached != null) cached
       else {
-        val t = StubOcr.extractText(data).trim
+        val t = engine.extractText(data).trim
         if (memo.size() >= MemoCap) memo.clear()
         memo.put(key, t)
         t
@@ -294,15 +307,17 @@ object Ocr {
     * runs over distincts only; results join back to ids on the 40-char
     * key — image bytes never ride the result join. */
   def ocrDataFrame(spark: SparkSession, df: DataFrame, idCol: String,
-                   bytesCol: String, languages: Seq[String] = Nil): DataFrame = {
+                   bytesCol: String, languages: Seq[String] = Nil,
+                   engine: OcrEngine = StubOcr): DataFrame = {
     import spark.implicits._
     val keyed = df.select(col(idCol).as("id"),
       sha1(col(bytesCol)).as("okey"), col(bytesCol).as("obytes"))
     val langs = languages
+    val eng = engine
     val texts = keyed.groupBy(col("okey")).agg(first(col("obytes")).as("obytes"))
       .select(col("okey"), col("obytes")).as[(String, Array[Byte])]
       .mapPartitions(_.map { case (k, b) =>
-        (k, Ocr.extractOcrText(b, langs).orNull)
+        (k, Ocr.extractOcrText(b, langs, eng).orNull)
       }).toDF("okey", "ocr_text")
     keyed.select(col("id"), col("okey"))
       .join(texts, "okey")

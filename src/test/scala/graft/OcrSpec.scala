@@ -104,6 +104,18 @@ class OcrSpec extends AnyFunSuite {
     assert(joinLines.nonEmpty && joinLines.forall(!_.contains("obytes")), joinLines.mkString("\n"))
   }
 
+  test("OCR engine is pluggable (the reference's settings._ocr_service switch)") {
+    val fixed = new graft.ocr.OcrEngine {
+      def extractText(d: Array[Byte]): String = "ENGINE SAYS HI"
+    }
+    Ocr.clearCacheForTests()
+    val img = Raster.renderText("WHATEVER", scale = 2, minWidthChars = 30)
+    assert(Ocr.extractOcrText(img, Nil, fixed).contains("ENGINE SAYS HI"))
+    // same bytes through the default engine read the raster instead
+    Ocr.clearCacheForTests()
+    assert(Ocr.extractOcrText(img).contains("WHATEVER"))
+  }
+
   test("pipeline: BMP image doc gets an OCR text span; undersized does not") {
     import spark.implicits._
     val good = Raster.renderText("PLANTED WORDS", scale = 2, minWidthChars = 30)

@@ -471,6 +471,34 @@ class OpsSpec extends AnyFunSuite {
       plan.take(1500))
   }
 
+  test("decontaminate agrees with brute-force set overlap on random corpora") {
+    val rng = new graft.corpus.CorpusGen.Rng(41)
+    val alphabet = Vector("aa", "bb", "cc", "dd", "ee")
+    def randDoc(): String = {
+      val len = 8 + (math.abs(rng.nextLong()) % 20).toInt
+      (0 until len).map(_ => alphabet((math.abs(rng.nextLong()) % 5).toInt))
+        .mkString(" ")
+    }
+    val n = 4
+    val train = (1L to 40L).map(id => (id, randDoc()))
+    val bench = (100L to 104L).map(id => (id, randDoc()))
+    def gramsOf(t: String): Set[String] = {
+      val toks = t.split(" ")
+      if (toks.length < n) Set.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val benchGrams = bench.iterator.flatMap(b => gramsOf(b._2)).toSet
+    val expected = train.map { case (id, t) =>
+      id -> gramsOf(t).exists(benchGrams.contains)
+    }.toMap
+    val got = TextOps.decontaminate(spark, train.toDF("doc_id", "body"),
+        bench.toDF("doc_id", "body"), "doc_id", "body", n)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(got == expected, (got.toSet -- expected.toSet).toString)
+    // the small alphabet must actually produce overlap both ways
+    assert(expected.values.exists(identity) && expected.values.exists(!_))
+  }
+
   test("capPerSource: top-N per source by order column, deterministic tiebreak") {
     val docs = (1L to 25L).map(i => (i, s"src${i % 2}", 100L - (i % 7)))
       .toDF("doc_id", "source", "sz")
