@@ -77,6 +77,28 @@ class PlanSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("vocab is the classic word-count exchange: partial agg below the token shuffle, top-k via TakeOrdered") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    val df = graft.ops.TextOps.vocab(spark,
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", 50)
+    val plan = planOf(df)
+    val lines = plan.linesIterator.toVector
+    // shuffle keys on the token, never the document text
+    val exchangeIdx = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("token"))
+    assert(exchangeIdx >= 0, plan.take(2000))
+    assert(!lines(exchangeIdx).contains("text"), lines(exchangeIdx))
+    // map-side combine before that exchange
+    assert(lines.drop(exchangeIdx).exists(_.contains("HashAggregate")),
+      "no partial aggregate below the token exchange")
+    // top-k must be TakeOrdered (heap per partition), not a global Sort+Limit
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // scan pruned to the two columns the op touches
+    val scan = lines.find(_.contains("ReadSchema")).getOrElse(fail("no scan"))
+    assert(scan.contains("doc_id") && scan.contains("text"), scan)
+    assert(!scan.contains("lang") && !scan.contains("source"), scan)
+  }
+
   test("x_* renderPending stays a single narrow stage over the scan (no shuffle before extraction)") {
     assume(new java.io.File(s"$sfDir/documents.parquet").exists)
     import spark.implicits._
