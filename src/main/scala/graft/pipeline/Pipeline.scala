@@ -205,21 +205,29 @@ object Pipeline {
     Output(spans, meta, lineage, persisted.toSeq)
   }
 
-  /** Durable variant of [[run]]: every depth level is committed to
-    * `snapshotDir/depth=N` as parquet (spans, meta, lineage, children)
-    * with a `_COMPLETE` marker — the snapshot-per-level commit the north
-    * rule requires (the Iceberg-snapshot analogue; reference commit point:
-    * `ingestors/manager.py:120-123`). A killed job re-invoked with the
-    * same snapshotDir skips every completed level (children are read back
-    * from the snapshot instead of recomputed), so work lost is bounded by
-    * one level. Unlike localCheckpoint this survives executor AND driver
-    * loss.
+  /** Durable variant of [[run]]: every depth level is committed as ONE
+    * atomic snapshot (spans + meta + lineage + children in a single
+    * metadata swap) to a [[graft.table.SnapshotTable]] at `snapshotDir` —
+    * the Iceberg-snapshot-checkpoint commit the north rule requires
+    * (reference commit point: `ingestors/manager.py:120-123`). A killed
+    * job re-invoked with the same snapshotDir skips every committed level
+    * (children are planned from that level's own manifest — an
+    * incremental scan — instead of recomputed), so work lost is bounded
+    * by one level, and a kill ANYWHERE mid-level leaves only orphan data
+    * files that no snapshot references (reclaimed by
+    * [[graft.table.SnapshotTable.expireOrphans]]) — there is no torn
+    * state, unlike the earlier per-dir `_COMPLETE` marker protocol where
+    * a kill between the four writes and the marker left half a level on
+    * disk. Unlike localCheckpoint this survives executor AND driver loss.
     *
-    * All marker/listing bookkeeping goes through
-    * `org.apache.hadoop.fs.FileSystem` — the same layer the parquet data
-    * rides — so the snapshotDir may be local, HDFS, or S3A; a
-    * `java.io.File` here would silently strand the markers on the
-    * driver's local disk and break resume off-box.
+    * All bookkeeping goes through `org.apache.hadoop.fs.FileSystem` — the
+    * same layer the parquet data rides — so the snapshotDir may be local,
+    * HDFS, or S3A.
+    *
+    * The terminal condition is data, not a sentinel: a committed level
+    * whose manifest shows zero children rows (read from parquet footers
+    * at commit time, no extra job) ends both the first run and any
+    * resume.
     *
     * @param maxDepthOverride stop early (used by tests to simulate a kill
     *   between levels). */
@@ -227,68 +235,60 @@ object Pipeline {
                  snapshotDir: String, cfg: Config = Config(),
                  maxDepthOverride: Int = Int.MaxValue): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
-    import org.apache.hadoop.fs.Path
-    val rootPath = new Path(snapshotDir)
-    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(rootPath)
+    import graft.table.SnapshotTable
     var pending = pending0
     var depth = 0
     var done = false
     val maxDepth = math.min(cfg.maxDepth, maxDepthOverride)
+    // one metadata read up front; refreshed only after our own commits
+    var snaps = SnapshotTable.snapshots(spark, snapshotDir)
+    def levelSnap(d: Int): Option[SnapshotTable.Snapshot] =
+      snaps.find(_.summary.get("depth").contains(d.toString))
+    def childrenRows(s: SnapshotTable.Snapshot): Long =
+      s.summary.get("children-rows").map(_.toLong).getOrElse(
+        SnapshotTable.addedFiles(spark, snapshotDir, s.id, "children")
+          .map(_.rows).sum)
     while (!done && depth <= maxDepth) {
-      val dir = s"$snapshotDir/depth=$depth"
-      val marker = new Path(s"$dir/_COMPLETE")
-      if (fs.exists(marker)) {
-        // committed by a previous (possibly killed) run: resume from it
-        pending = spark.read.parquet(s"$dir/children").as[PendingDoc]
-      } else {
-        val cur = pending.persist(StorageLevel.MEMORY_AND_DISK_SER)
-        val n = cur.count()
-        if (n == 0) {
-          // write an empty terminal level so resume stops here too
-          spark.emptyDataset[PendingDoc].write.mode("overwrite")
-            .parquet(s"$dir/children")
-          spark.emptyDataset[SpanOut].write.mode("overwrite")
-            .parquet(s"$dir/spans")
-          spark.emptyDataset[DocMeta].write.mode("overwrite")
-            .parquet(s"$dir/meta")
-          spark.emptyDataset[LineageRow].write.mode("overwrite")
-            .parquet(s"$dir/lineage")
-          fs.createNewFile(marker)
-          cur.unpersist(false)
-          done = true
-        } else {
+      levelSnap(depth) match {
+        case Some(s) =>
+          // committed by a previous (possibly killed) run: resume from it
+          if (childrenRows(s) == 0L) done = true
+          else pending = SnapshotTable
+            .readAdded(spark, snapshotDir, s.id, "children").as[PendingDoc]
+        case None =>
+          val cur = pending.persist(StorageLevel.MEMORY_AND_DISK_SER)
+          val n = cur.count()
           val results = cur.mapPartitions(_.map(processOne))
             .persist(StorageLevel.MEMORY_AND_DISK_SER)
-          results.flatMap(_.spans).write.mode("overwrite").parquet(s"$dir/spans")
-          results.map(_.meta).write.mode("overwrite").parquet(s"$dir/meta")
-          results.mapPartitions { it =>
+          val lineage = results.mapPartitions { it =>
             val pid = TaskContext.getPartitionId()
             it.map(r => LineageRow(pid, r.meta.doc_id, r.meta.ingestor,
               r.meta.processing_status, r.meta.depth))
-          }.write.mode("overwrite").parquet(s"$dir/lineage")
-          results.flatMap(_.children).write.mode("overwrite").parquet(s"$dir/children")
-          fs.createNewFile(marker) // the commit point
+          }
+          val children = results.flatMap(_.children)
+            .persist(StorageLevel.MEMORY_AND_DISK_SER)
+          val meta = SnapshotTable.append(spark, snapshotDir, Map(
+            "spans" -> results.flatMap(_.spans).toDF(),
+            "meta" -> results.map(_.meta).toDF(),
+            "lineage" -> lineage.toDF(),
+            "children" -> children.toDF()),
+            summary = Map("depth" -> depth.toString, "level-docs" -> n.toString))
+          snaps = meta.snapshots
+          val committed = levelSnap(depth).get
+          if (childrenRows(committed) == 0L) done = true
+          else pending = SnapshotTable
+            .readAdded(spark, snapshotDir, committed.id, "children")
+            .as[PendingDoc]
+          children.unpersist(false)
           results.unpersist(false)
           cur.unpersist(false)
-          pending = spark.read.parquet(s"$dir/children").as[PendingDoc]
-        }
-      }
-      if (!done) {
-        // terminal when the committed children set is empty
-        if (fs.exists(marker) &&
-            spark.read.parquet(s"$dir/children").isEmpty) done = true
       }
       depth += 1
     }
-    // outputs = union over committed levels
-    val levels = fs.listStatus(rootPath).filter(st => st.isDirectory &&
-      st.getPath.getName.startsWith("depth=") &&
-      fs.exists(new Path(st.getPath, "_COMPLETE")))
-      .map(_.getPath.toString).sorted
-    def unionOf(part: String): DataFrame =
-      levels.map(l => spark.read.parquet(s"$l/$part")).reduce(_ unionByName _)
-    (unionOf("spans"), unionOf("meta"), unionOf("lineage"))
+    // outputs = snapshot-scoped reads over every committed level's files
+    (SnapshotTable.read(spark, snapshotDir, "spans"),
+     SnapshotTable.read(spark, snapshotDir, "meta"),
+     SnapshotTable.read(spark, snapshotDir, "lineage"))
   }
 
   /** Per-ingestor success/failure/byte counters — the Prometheus metrics of

@@ -194,24 +194,31 @@ class PipelineSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("graft-snap").toString
 
     // All snapshotDir paths go through an explicit file:-scheme URI so the
-    // bookkeeping (markers, level listing) is exercised via the Hadoop
-    // FileSystem layer — the path shape HDFS/S3A would take — while the
-    // java.io.File assertions below still see the same local files.
+    // snapshot-log bookkeeping (metadata versions, manifests) is exercised
+    // via the Hadoop FileSystem layer — the path shape HDFS/S3A would take.
     // full uninterrupted run, separate snapshot dir
     val (s0, m0, _) = Pipeline.runDurable(spark, p, s"file:$base/full")
     val expectSpans = s0.collect().map(_.toString).sorted.toVector
     val expectMeta = m0.count()
 
     // "killed" run: commits depth 0 only, then stops
-    Pipeline.runDurable(spark, p, s"file:$base/killed", maxDepthOverride = 0)
-    val d0files = new java.io.File(s"$base/killed/depth=0/spans").list().sorted.toVector
-    assert(new java.io.File(s"$base/killed/depth=0/_COMPLETE").exists())
-    assert(!new java.io.File(s"$base/killed/depth=1").exists())
+    import graft.table.SnapshotTable
+    val killedLoc = s"file:$base/killed"
+    Pipeline.runDurable(spark, p, killedLoc, maxDepthOverride = 0)
+    val snaps0 = SnapshotTable.snapshots(spark, killedLoc)
+    assert(snaps0.map(_.summary("depth")) == Vector("0"))
+    val d0files = SnapshotTable
+      .addedFiles(spark, killedLoc, snaps0.head.id, "spans").map(_.path).sorted
 
     // resume: completes depth 1+ without recomputing depth 0
-    val (s1, m1, l1) = Pipeline.runDurable(spark, p, s"file:$base/killed")
-    assert(new java.io.File(s"$base/killed/depth=0/spans").list().sorted.toVector
+    val (s1, m1, l1) = Pipeline.runDurable(spark, p, killedLoc)
+    val snaps1 = SnapshotTable.snapshots(spark, killedLoc)
+    assert(SnapshotTable
+      .addedFiles(spark, killedLoc, snaps0.head.id, "spans").map(_.path).sorted
       == d0files, "depth 0 was rewritten on resume")
+    // the resumed levels chain onto the killed run's snapshot
+    assert(snaps1.map(_.summary("depth")).sorted.startsWith(Vector("0", "1")))
+    assert(snaps1.find(_.summary("depth") == "1").get.parentId == snaps0.head.id)
     assert(s1.collect().map(_.toString).sorted.toVector == expectSpans)
     assert(m1.count() == expectMeta)
     // lineage carries partition provenance for every committed row
