@@ -91,7 +91,7 @@ object Soak {
     // boilerplate buckets among the survivors.
     var distinctBodies = 0L
     val pairCount = phase("minhash_lsh") {
-      val spans = spark.read.parquet(s"$snapDir/depth=*/spans")
+      val spans = graft.table.SnapshotTable.read(spark, snapDir, "spans")
       val bodies = spans.filter($"kind" === "text")
         .groupBy($"doc_id")
         .agg(concat_ws(" ", transform(

@@ -33,6 +33,56 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Deterministic multi-line "web page" per document for the line-level
+    * ops (C4 filter, boilerplate line dedup): the flat testdata text has
+    * no lines or sentences, so both engines synthesize the same page —
+    * a shared header line, token-decade body lines with terminal
+    * punctuation on (id+i)%3!=0, a footer on id%4, a lorem-ipsum line on
+    * id%17, a brace line on id%23. The DuckDB oracles rebuild it with the
+    * identical arithmetic (the planted-structure pattern of
+    * t_decontaminate). */
+  private def pagedDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    QueryLib.documents(s, dir)
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = graft.core.TextUtil.tokens(if (text == null) "" else text)
+        val nBody = (toks.length + 9) / 10
+        val sb = new StringBuilder("subscribe to our newsletter today.")
+        var i = 0
+        while (i < nBody) {
+          sb.append('\n').append(toks.slice(10 * i, 10 * i + 10).mkString(" "))
+          if ((id + i) % 3 != 0) sb.append('.')
+          i += 1
+        }
+        if (id % 4 == 0) sb.append("\ncopyright example site all rights reserved")
+        if (id % 17 == 0) sb.append("\nlorem ipsum dolor sit amet.")
+        if (id % 23 == 0) sb.append("\nenable javascript { window.load }")
+        (id, sb.toString)
+      }.toDF("doc_id", "page")
+  }
+
+  /** The page-synthesis CTE shared by the line-op oracles — must stay in
+    * lockstep with [[pagedDocs]]. */
+  private val PagedCte: String =
+    """WITH tk AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id,
+      |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |pg AS (
+      |  SELECT id,
+      |    'subscribe to our newsletter today.' ||
+      |    coalesce(list_aggregate(
+      |      list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+      |        i -> chr(10) || array_to_string(toks[10*i+1:10*i+10], ' ') ||
+      |             CASE WHEN (id + i) % 3 <> 0 THEN '.' ELSE '' END),
+      |      'string_agg', ''), '') ||
+      |    CASE WHEN id % 4 = 0 THEN chr(10) || 'copyright example site all rights reserved' ELSE '' END ||
+      |    CASE WHEN id % 17 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END ||
+      |    CASE WHEN id % 23 = 0 THEN chr(10) || 'enable javascript { window.load }' ELSE '' END
+      |    AS page
+      |  FROM tk)""".stripMargin
+
   /** Flagship: full extraction pipeline over the synthetic interleaved
     * corpus at smoke scale; driver checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -523,6 +573,21 @@ object SparkEntry {
     // failing rule is the reason; engine-portable integer milli math)
     "t_filter_gopher" -> ((s, dir) => {
       TextOps.filterGopher(s, QueryLib.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // C4 cleaning rules (Raffel et al. 2020) over synthesized multi-line
+    // pages (the flat testdata text carries no lines/sentences, so both
+    // engines derive the same page deterministically — the planted-
+    // structure pattern t_decontaminate uses)
+    "t_filter_c4" -> ((s, dir) => {
+      TextOps.filterC4(s, pagedDocs(s, dir), "doc_id", "page")
+        .orderBy("doc_id")
+    }),
+    // cross-document boilerplate line stats (CCNet/RefinedWeb line dedup):
+    // header/footer/notice lines planted across docs must be found by
+    // corpus-wide doc-frequency, never by per-doc inspection
+    "t_line_dedup" -> ((s, dir) => {
+      TextOps.lineDedupStats(s, pagedDocs(s, dir), "doc_id", "page", 5)
         .orderBy("doc_id")
     }),
     // corpus vocabulary: token -> (tf, df), top-100 by tf with
@@ -1280,6 +1345,48 @@ object SparkEntry {
         |  FROM m)
         |SELECT doc_id, reason IS NULL AS keep, reason
         |FROM r ORDER BY doc_id""".stripMargin,
+    "t_filter_c4" -> (PagedCte +
+      """,
+        |l AS (
+        |  SELECT id, page,
+        |         list_filter(string_split(page, chr(10)), x -> len(x) > 0) AS lines
+        |  FROM pg),
+        |k AS (
+        |  SELECT id, page,
+        |         CAST(len(lines) AS BIGINT) AS n_lines,
+        |         CAST(len(list_filter(lines, x ->
+        |           (ends_with(x, '.') OR ends_with(x, '!') OR
+        |            ends_with(x, '?') OR ends_with(x, '"'))
+        |           AND len(list_filter(string_split_regex(x, '\s+'),
+        |                 w -> len(w) > 0)) >= 5)) AS BIGINT) AS n_kept
+        |  FROM l),
+        |r AS (
+        |  SELECT id, n_lines, n_kept,
+        |    CASE WHEN contains(lower(page), 'lorem ipsum') THEN 'lorem_ipsum'
+        |         WHEN contains(page, '{') THEN 'brace'
+        |         WHEN n_kept < 3 THEN 'too_few_sentences'
+        |         ELSE NULL END AS reason
+        |  FROM k)
+        |SELECT id AS doc_id, n_lines, n_kept, reason IS NULL AS keep, reason
+        |FROM r ORDER BY doc_id""".stripMargin),
+    "t_line_dedup" -> (PagedCte +
+      """,
+        |l AS (
+        |  SELECT id, unnest(list_filter(string_split(page, chr(10)),
+        |    x -> len(x) > 0)) AS line
+        |  FROM pg),
+        |b AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT id) AS ddf FROM l GROUP BY line)
+        |  WHERE ddf >= 5),
+        |per AS (
+        |  SELECT l.id AS id, count(*) AS n_lines,
+        |         sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+        |  FROM l LEFT JOIN b ON l.line = b.line GROUP BY l.id)
+        |SELECT id AS doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |       CAST(n_boiler AS BIGINT) AS n_boiler,
+        |       CAST(n_boiler * 1000 // n_lines AS BIGINT) AS boiler_milli
+        |FROM per ORDER BY doc_id""".stripMargin),
     "t_vocab" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),

@@ -438,6 +438,40 @@ class OpsSpec extends AnyFunSuite {
     assert(got(6L) == ((false, Some("high_dup_trigrams"))), got(6L))
   }
 
+  test("c4 filter: line rules (terminal punct + >=5 words) and doc rules in precedence order") {
+    val goodLine = "one two three four five."     // kept
+    val shortLine = "too short line."             // 3 words -> rejected
+    val noPunct = "six seven eight nine ten more" // no terminal punct -> rejected
+    val docs = Seq(
+      (1L, Seq(goodLine, goodLine, goodLine).mkString("\n")),            // keep
+      (2L, Seq(goodLine, shortLine, noPunct).mkString("\n")),            // 1 kept < 3
+      (3L, Seq(goodLine, goodLine, goodLine, "lorem IPSUM x").mkString("\n")),
+      (4L, Seq(goodLine, goodLine, goodLine, "if (x) { y }").mkString("\n")),
+      (5L, "lorem ipsum { both }")                                       // lorem wins over brace
+    ).toDF("doc_id", "page")
+    val got = TextOps.filterC4(spark, docs, "doc_id", "page")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), Option(r.getString(4))))).toMap
+    assert(got(1L) == ((3L, 3L, true, None)), got(1L))
+    assert(got(2L) == ((3L, 1L, false, Some("too_few_sentences"))), got(2L))
+    assert(got(3L) == ((4L, 3L, false, Some("lorem_ipsum"))), got(3L))
+    assert(got(4L) == ((4L, 3L, false, Some("brace"))), got(4L))
+    assert(got(5L) == ((1L, 0L, false, Some("lorem_ipsum"))), got(5L))
+  }
+
+  test("line dedup: corpus-frequency boilerplate found; unique lines untouched") {
+    val footer = "subscribe to our newsletter"
+    val docs = (1L to 6L).map { id =>
+      (id, Seq(s"unique body line $id", footer).mkString("\n"))
+    } :+ (7L, "all unique here\nnothing shared")
+    val got = TextOps.lineDedupStats(spark, docs.toDF("doc_id", "page"),
+        "doc_id", "page", minDf = 5)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // footer appears in 6 >= 5 docs -> boilerplate for each of them
+    (1L to 6L).foreach(id => assert(got(id) == ((2L, 1L, 500L)), got(id)))
+    assert(got(7L) == ((2L, 0L, 0L)), got(7L))
+  }
+
   test("vocab: tf/df counts and deterministic tf-desc/token-asc ranking") {
     val docs = Seq(
       (1L, "apple apple banana"),

@@ -99,6 +99,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!scan.contains("lang") && !scan.contains("source"), scan)
   }
 
+  test("line dedup shuffles 8-byte line hashes, never line text") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    val df = graft.ops.TextOps.lineDedupStats(spark,
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", 5)
+    val plan = planOf(df)
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exchanges.nonEmpty, plan.take(1500))
+    // every exchange keys/carries only (lh, id/count) — the line string is
+    // hashed in the narrow explode stage below the first shuffle
+    assert(exchanges.forall(l => !l.contains("line#")), exchanges.mkString("\n"))
+  }
+
   test("x_* renderPending stays a single narrow stage over the scan (no shuffle before extraction)") {
     assume(new java.io.File(s"$sfDir/documents.parquet").exists)
     import spark.implicits._
