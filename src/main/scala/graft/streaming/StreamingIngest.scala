@@ -61,6 +61,42 @@ object StreamingIngest {
     out.cleanup()
   }
 
+  /** Micro-batched extraction into a [[graft.table.SnapshotTable]] —
+    * the Iceberg streaming-commit contract: spans + meta of each batch
+    * land as ONE atomic snapshot tagged with the batchId, so readers
+    * never see a partial batch, and a checkpoint-recovery replay of an
+    * already-committed batch is detected from the snapshot summaries and
+    * skipped (exactly-once into the table, not just per-partition
+    * idempotence like the parquet sink above). */
+  def extractionQueryToTable(spark: SparkSession, docs: DataFrame,
+                             tableLoc: String, checkpointDir: String,
+                             trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchToTable(spark, batch, batchId, tableLoc)
+      }
+      .start()
+
+  /** One micro-batch → one atomic snapshot; no-op if this batchId already
+    * committed (replay after checkpoint recovery). */
+  def writeBatchToTable(spark: SparkSession, batch: DataFrame, batchId: Long,
+                        tableLoc: String): Unit = {
+    import spark.implicits._
+    import graft.table.SnapshotTable
+    val already = SnapshotTable.snapshots(spark, tableLoc)
+      .exists(_.summary.get("batch-id").contains(batchId.toString))
+    if (already) return
+    val out = Pipeline.run(spark, batch.as[PendingDoc])
+    SnapshotTable.append(spark, tableLoc, Map(
+      "spans" -> out.spans.toDF().withColumn("batch_id", lit(batchId)),
+      "meta" -> out.meta.toDF().withColumn("batch_id", lit(batchId))),
+      summary = Map("batch-id" -> batchId.toString))
+    out.cleanup()
+  }
+
   /** One email's threading facts as they stream out of extraction. */
   final case class MailEvent(doc_id: String, message_id: String,
                              in_reply_to: String)

@@ -73,6 +73,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/meta").count() == 2 * n1)
   }
 
+  test("snapshot-table sink: one atomic snapshot per batch, replay skipped, never torn") {
+    import spark.implicits._
+    import graft.table.SnapshotTable
+    val loc = "file:" + java.nio.file.Files.createTempDirectory("graft-tsink").toString
+    val batch = spark.createDataset(Seq(
+      PendingDoc("t1", "", Seq.empty, 0, "t1.txt", "", "table sink doc".getBytes)))
+      .toDF()
+    StreamingIngest.writeBatchToTable(spark, batch, 7L, loc)
+    assert(SnapshotTable.snapshots(spark, loc).size == 1)
+    val n1 = SnapshotTable.read(spark, loc, "meta").count()
+    // post-failure replay of the SAME micro-batch: no new snapshot, no dup rows
+    StreamingIngest.writeBatchToTable(spark, batch, 7L, loc)
+    assert(SnapshotTable.snapshots(spark, loc).size == 1)
+    assert(SnapshotTable.read(spark, loc, "meta").count() == n1)
+    // next batch appends a second snapshot; spans+meta committed together
+    StreamingIngest.writeBatchToTable(spark, batch, 8L, loc)
+    val snaps = SnapshotTable.snapshots(spark, loc)
+    assert(snaps.map(_.summary("batch-id")).sorted == Vector("7", "8"))
+    assert(SnapshotTable.read(spark, loc, "meta").count() == 2 * n1)
+    assert(SnapshotTable.read(spark, loc, "spans")
+      .filter(col("text") === "table sink doc").count() == 2)
+    // time travel: the first batch's snapshot still reads alone
+    assert(SnapshotTable.read(spark, loc, "meta",
+      asOf = Some(snaps.head.id)).count() == n1)
+  }
+
   test("stateful threading: out-of-order parents resolve across micro-batches") {
     import spark.implicits._
     // Spark 4 moved MemoryStream under execution.streaming.runtime
