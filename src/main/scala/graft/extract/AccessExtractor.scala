@@ -23,7 +23,8 @@ import graft.core.TextUtil.filterText
   *  - types: bool/byte/int/long/currency/float/double/datetime/text;
   *    memo & OLE render empty (LVAL pages out of scope).
   *
-  * ACE (.accdb, version byte ≥ 2) is out of scope and fails cleanly.
+  * ACE (.accdb, version bytes 2-5 = Access 2007-2016) parses through the
+  * Jet4-compatible layout (see [[Jet.isAce]]); later versions fail cleanly.
   * Jet3 rows longer than 255 bytes use jump tables; their variable
   * columns decode as null (fixed columns still read), documented
   * limitation. Jet4 validation: no public fixture ships with the
@@ -48,11 +49,24 @@ object Jet {
     (i32(b, o).toLong & 0xffffffffL) | (i32(b, o + 4).toLong << 32)
 
   def isJet(b: Array[Byte]): Boolean =
-    b.length > 128 &&
-      new String(b, 4, 15, "ISO-8859-1") == "Standard Jet DB"
+    b.length > 128 && {
+      val m = new String(b, 4, 15, "ISO-8859-1")
+      // Jet3/Jet4 stamp "Standard Jet DB"; ACE (.accdb) "Standard ACE DB"
+      m == "Standard Jet DB" || m == "Standard ACE DB"
+    }
 
   def isJet3(b: Array[Byte]): Boolean = isJet(b) && (b(0x14) & 0xff) == 0
   def isJet4(b: Array[Byte]): Boolean = isJet(b) && (b(0x14) & 0xff) == 1
+  /** ACE (.accdb): version byte 2 = Access 2007, 3 = 2010, 4 = 2013,
+    * 5 = 2016+. Per the public mdbtools format docs ACE keeps the Jet4
+    * page size, TDEF layout, and row format; the additions (complex
+    * fields type 0x12, bigint 0x13) decode to empty cells through the
+    * defensive `render` default, so layout drift degrades, never
+    * garbles. Real-.accdb parity is unverified for the same reason as
+    * Jet4 (no redistributable fixture) — pinned by the version-stamped
+    * roundtrip in AccessSpec. */
+  def isAce(b: Array[Byte]): Boolean =
+    isJet(b) && { val v = b(0x14) & 0xff; v >= 2 && v <= 5 }
 
   /** Jet4 "compressed" UCS-2: FF FE marker, then 8-bit mode (chars are
     * the low UCS-2 byte) with 0x00 toggling 8-bit ↔ 16-bit runs. */
@@ -79,10 +93,11 @@ object Jet {
 
   def parse(d: Array[Byte]): Vector[Table] = {
     if (!isJet(d)) throw new ProcessingError("Not an Access database")
-    val jet4 = isJet4(d)
+    val jet4 = isJet4(d) || isAce(d) // ACE rides the Jet4-compatible layout
     if (!isJet3(d) && !jet4)
       throw new ProcessingError(
-        "Access extraction supports Jet3/Jet4 (.mdb) only; ACE (.accdb) is not")
+        "Access extraction supports Jet3/Jet4 (.mdb) and ACE 2007-2016 " +
+          "(.accdb); unknown format version " + (d(0x14) & 0xff))
     val PageSize = if (jet4) 4096 else 2048
     val nPages = d.length / PageSize
 

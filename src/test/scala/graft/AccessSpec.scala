@@ -45,12 +45,25 @@ class AccessSpec extends AnyFunSuite {
     assert(got(399) == Vector("token399", "x" * 30))
   }
 
-  test("ACE (.accdb, version >= 2) fails cleanly") {
+  test("ACE (.accdb, versions 2-5) parses via the Jet4-compatible layout") {
+    // every documented ACE version byte roundtrips through the Jet4 path,
+    // with the real-world "Standard ACE DB" header magic
+    for (v <- 2 to 5) {
+      val mdb = Jet4Writer.write("docs", 1, Seq(Seq("ace row")))
+      mdb(0x14) = v.toByte
+      System.arraycopy("Standard ACE DB".getBytes("ISO-8859-1"), 0, mdb, 4, 15)
+      assert(Jet.parse(mdb).head.rows == Vector(Vector("ace row")), s"v$v")
+      val r = AccessExtractor.extract(RawDoc("d", "x.accdb", "", mdb))
+      assert(r.status == graft.core.ExtractionResult.Success, s"v$v")
+    }
+  }
+
+  test("unknown Access format versions (>5) fail cleanly") {
     val mdb = Jet4Writer.write("docs", 1, Seq(Seq("a")))
-    mdb(0x14) = 0x02
+    mdb(0x14) = 0x09
     val r = AccessExtractor.extract(RawDoc("d", "x.accdb", "", mdb))
     assert(r.status == graft.core.ExtractionResult.Failure)
-    assert(r.error.contains("ACE"))
+    assert(r.error.contains("unknown format version"))
   }
 
   test("jet4 'compressed' UCS-2 text decodes (FF FE marker, 0x00 toggle)") {
