@@ -155,7 +155,8 @@ object Bench {
       else Seq("x_html", "x_zip_children", "x_ocr", "t_ocr_cache",
         "t_quality",
         "t_token_count", "t_lang_id", "t_minhash_lsh", "t_simhash",
-        "t_filter_gopher", "t_vocab", "t_decontaminate", "t_domain_cap",
+        "t_filter_gopher", "t_vocab", "t_filter_c4", "t_line_dedup",
+        "t_decontaminate", "t_domain_cap",
         "s_ann_brute", "s_ann_lsh", "s_ann_ivf", "s_ann_ivfpq", "a_patterns",
         "a_thread_join")
     for (q <- benchQueries) {

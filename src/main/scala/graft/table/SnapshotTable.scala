@@ -119,6 +119,8 @@ object SnapshotTable {
         .getOrElse(sys.error(s"missing field $k"))
     case other => sys.error(s"expected object, got $other")
   }
+  // JsonMini numbers are Doubles: exact for |n| < 2^53, which bounds all
+  // fields here (sequential snapshot ids/versions, per-file rows/bytes)
   private def asLong(v: Any): Long = v.asInstanceOf[Double].toLong
   private def asStr(v: Any): String = v.asInstanceOf[String]
 

@@ -110,6 +110,20 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.expireOrphans(spark, loc) == 0)
   }
 
+  test("corrupt current metadata fails with a clear parse error, not a hang or garbage read") {
+    val loc = freshLoc()
+    SnapshotTable.append(spark, loc, Map("rows" -> df(1, 2)))
+    // clobber v1 with truncated JSON (simulates a torn non-atomic write on
+    // a filesystem without atomic rename — the documented caveat)
+    val root = new org.apache.hadoop.fs.Path(loc)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "metadata/v1.metadata.json"), true)
+    out.write("""{"format-version":1,"table-uu""".getBytes("UTF-8"))
+    out.close()
+    val e = intercept[Exception] { SnapshotTable.load(spark, loc) }
+    assert(e.getMessage != null)
+  }
+
   test("version-hint and metadata versions are discoverable; load of empty dir is None") {
     val loc = freshLoc()
     assert(SnapshotTable.load(spark, loc).isEmpty)
