@@ -83,6 +83,65 @@ object SparkEntry {
       |    AS page
       |  FROM tk)""".stripMargin
 
+  /** Deterministic interleaved SPANS table per document — the exact input
+    * shape the north rule names: (doc_id, spans: array<struct<kind,text,
+    * media_ref,offset>>). Per doc: a shared boilerplate header span,
+    * 8-token body text spans, an image span after body group i when
+    * (id+i)%5==0 (media_ref = blob-id-i), a shared footer span on id%4.
+    * The i_spans_* oracles rebuild the exploded rows with identical
+    * arithmetic (the pagedDocs pattern, lifted to the nested shape). */
+  private def spanDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    QueryLib.documents(s, dir)
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = graft.core.TextUtil.tokens(if (text == null) "" else text)
+        val n = (toks.length + 7) / 8
+        val buf = scala.collection.mutable.ArrayBuffer.empty[graft.core.Span]
+        buf += graft.core.Span("text", "subscribe to our newsletter today.", "", 0)
+        var i = 0
+        while (i < n) {
+          buf += graft.core.Span("text", toks.slice(8 * i, 8 * i + 8).mkString(" "), "", 8 * i)
+          if ((id + i) % 5 == 0)
+            buf += graft.core.Span("image", "", s"blob-$id-$i", 8 * i)
+          i += 1
+        }
+        if (id % 4 == 0)
+          buf += graft.core.Span("text",
+            "copyright example site all rights reserved", "", 8 * n)
+        (id, buf.toSeq)
+      }.toDF("doc_id", "spans")
+  }
+
+  /** Exploded-rows synthesis CTE shared by the i_spans_* oracles — must
+    * stay in lockstep with [[spanDocs]] (pos = array index: header 0,
+    * body group i at 1+i+m(i) where m(i) = media spans before group i,
+    * media after group i at 2+i+m(i), footer at 1+n+m(n)). */
+  private val SpanCte: String =
+    """WITH tk AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id,
+      |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |nn AS (
+      |  SELECT id, toks, CAST(ceil(len(toks) / 8.0) AS BIGINT) AS ng FROM tk),
+      |sp AS (
+      |  SELECT id, CAST(0 AS BIGINT) AS pos, 'text' AS kind,
+      |         'subscribe to our newsletter today.' AS stext,
+      |         '' AS media_ref, CAST(0 AS BIGINT) AS off
+      |  FROM nn
+      |  UNION ALL
+      |  SELECT id, 1 + i + len(list_filter(range(0, i), j -> (id + j) % 5 = 0)),
+      |         'text', array_to_string(toks[8*i+1:8*i+8], ' '), '', 8*i
+      |  FROM nn, unnest(range(0, ng)) AS r(i)
+      |  UNION ALL
+      |  SELECT id, 2 + i + len(list_filter(range(0, i), j -> (id + j) % 5 = 0)),
+      |         'image', '', 'blob-' || id || '-' || i, 8*i
+      |  FROM nn, unnest(range(0, ng)) AS r(i) WHERE (id + i) % 5 = 0
+      |  UNION ALL
+      |  SELECT id, 1 + ng + len(list_filter(range(0, ng), j -> (id + j) % 5 = 0)),
+      |         'text', 'copyright example site all rights reserved', '', 8*ng
+      |  FROM nn WHERE id % 4 = 0)""".stripMargin
+
   /** Flagship: full extraction pipeline over the synthetic interleaved
     * corpus at smoke scale; driver checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -193,6 +252,22 @@ object SparkEntry {
       children.join(body, "child_id")
         .select(col("doc_id"), col("file_name"), col("body"))
         .orderBy("doc_id", "file_name")
+    }),
+    // WARC roundtrip (beyond the reference's formats: the Common Crawl
+    // container): even ids plain .warc, odd ids member-per-record
+    // .warc.gz; the 200 html + chunked 200 text responses become children
+    // named by target URI, the warcinfo/request/404/revisit/metadata
+    // records must not
+    "x_warc" -> ((s, dir) => {
+      val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "warc"))
+      val children = out.meta.toDF().filter(col("depth") === 1)
+        .select(col("parent_id").cast("long").as("doc_id"),
+          col("doc_id").as("child_id"), col("file_name").as("uri"))
+      val body = out.spans.toDF().filter(col("kind") === "text")
+        .select(col("doc_id").as("child_id"), col("text").as("body"))
+      children.join(body, "child_id")
+        .select(col("doc_id"), col("uri"), col("body"))
+        .orderBy("doc_id", "uri")
     }),
     "x_zip_children" -> ((s, dir) => {
       val out = QueryLib.run(s, QueryLib.renderPending(s, QueryLib.documents(s, dir), "zip"))
@@ -588,6 +663,23 @@ object SparkEntry {
     // corpus-wide doc-frequency, never by per-doc inspection
     "t_line_dedup" -> ((s, dir) => {
       TextOps.lineDedupStats(s, pagedDocs(s, dir), "doc_id", "page", 5)
+        .orderBy("doc_id")
+    }),
+    // main-content extraction OVER the interleaved spans table (the north
+    // rule's input shape): corpus-frequency boilerplate strip — text spans
+    // in >=5 distinct docs drop, media spans and unique text survive with
+    // original positions (hash-only df exchange + one left_anti join)
+    "i_spans_strip" -> ((s, dir) => {
+      graft.ops.SpanOps.stripBoilerplate(s, spanDocs(s, dir), minDocs = 5)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("kind"),
+          col("text"), col("media_ref"), col("offset").cast("long").as("off"))
+        .orderBy("doc_id", "pos")
+    }),
+    // interleaved spans -> model-input text with media placeholder tokens
+    // (pure codegen'd transform/array_join over the nested array; no
+    // explode, no shuffle)
+    "i_spans_render" -> ((s, dir) => {
+      graft.ops.SpanOps.renderInterleaved(spanDocs(s, dir))
         .orderBy("doc_id")
     }),
     // corpus vocabulary: token -> (tf, df), top-100 by tf with
@@ -1022,6 +1114,17 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 'b.txt' AS file_name, 'copy of doc ' || doc_id AS body FROM documents
         |ORDER BY doc_id, file_name""".stripMargin,
+    "x_warc" ->
+      """SELECT doc_id,
+        |       'http://graft.test/doc' || doc_id || '/notes.txt' AS uri,
+        |       'copy of doc ' || doc_id AS body
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id,
+        |       'http://graft.test/doc' || doc_id || '/page.html' AS uri,
+        |       trim('Doc ' || doc_id || ' ' || text) AS body
+        |FROM documents
+        |ORDER BY doc_id, uri""".stripMargin,
     "x_zip_children" ->
       """SELECT doc_id, 'a.txt' AS file_name, text AS body FROM documents
         |UNION ALL
@@ -1387,6 +1490,26 @@ object SparkEntry {
         |       CAST(n_boiler AS BIGINT) AS n_boiler,
         |       CAST(n_boiler * 1000 // n_lines AS BIGINT) AS boiler_milli
         |FROM per ORDER BY doc_id""".stripMargin),
+    "i_spans_strip" -> (SpanCte +
+      """,
+        |bdf AS (
+        |  SELECT stext, count(DISTINCT id) AS ddf FROM sp
+        |  WHERE kind = 'text' GROUP BY stext),
+        |kept AS (
+        |  SELECT sp.id, sp.pos, sp.kind, sp.stext, sp.media_ref, sp.off
+        |  FROM sp LEFT JOIN bdf
+        |    ON sp.kind = 'text' AND sp.stext = bdf.stext
+        |  WHERE bdf.ddf IS NULL OR bdf.ddf < 5)
+        |SELECT id AS doc_id, pos, kind, stext AS text, media_ref, off
+        |FROM kept ORDER BY doc_id, pos""".stripMargin),
+    "i_spans_render" -> (SpanCte +
+      """
+        |SELECT id AS doc_id,
+        |       string_agg(CASE WHEN kind = 'text' THEN stext
+        |                       ELSE '<|media|>' END, chr(10) ORDER BY pos) AS text,
+        |       CAST(sum(CASE WHEN kind <> 'text' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_media
+        |FROM sp GROUP BY id ORDER BY doc_id""".stripMargin),
     "t_vocab" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),

@@ -40,6 +40,7 @@ object Classifier {
     val b = if (bytes == null) Array.empty[Byte] else bytes
     if (b.isEmpty) return "inode/x-empty"
     if (isPdfMagic(b)) return "application/pdf"
+    if (graft.extract.Warc.isWarcMagic(b)) return "application/warc"
     if (isGzipMagic(b)) return "application/gzip"
     if (startsWithAscii(b, "BZh")) return "application/x-bzip2"
     if (startsWith(b, Array(0x37, 0x7a, 0xbc, 0xaf, 0x27, 0x1c)))
@@ -305,6 +306,15 @@ object Classifier {
     Entry("SevenZipIngestor", 4,
       Set("application/x-7z-compressed", "application/7z-compressed"),
       Set("7z", "7zip")),
+    // Beyond the reference's 37 (ingest-file has no WARC ingestor): the
+    // Common Crawl container. Magic "WARC/" wins outright; the compound
+    // `.warc.gz` extension must outbid GzipIngestor's `gz` match so the
+    // member-per-record stream is read in one hop.
+    Entry("WARCIngestor", 9,
+      Set("application/warc", "application/x-warc"), Set("warc"),
+      (f, m, b, s) =>
+        if (graft.extract.Warc.isWarcMagic(b) ||
+            (f != null && f.toLowerCase.endsWith(".warc.gz"))) 15 else s),
     Entry("GzipIngestor", 2,
       Set("application/gzip", "application/x-gzip", "multipart/x-gzip"),
       Set("gz", "tgz"),

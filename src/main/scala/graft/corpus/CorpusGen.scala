@@ -550,6 +550,72 @@ object CorpusGen {
     bos.toByteArray
   }
 
+  /** WARC file with the record mix a crawl produces: warcinfo + request
+    * decoys, a 200 HTML response, a chunked-transfer 200 text response, a
+    * 404 response, revisit + metadata decoys — only the two 200s should
+    * surface as children. `gzipMembers` emits the Common Crawl
+    * member-per-record `.warc.gz` convention. */
+  def renderWarc(id: Long, html: Array[Byte], noteText: String,
+                 gzipMembers: Boolean): Array[Byte] = {
+    val pageUri = s"http://graft.test/doc$id/page.html"
+    val noteUri = s"http://graft.test/doc$id/notes.txt"
+    val crlf2 = "\r\n\r\n".getBytes("UTF-8")
+    def record(tpe: String, uri: String, ctype: String,
+               block: Array[Byte]): Array[Byte] = {
+      val sb = new StringBuilder
+      sb.append("WARC/1.0\r\n")
+      sb.append(s"WARC-Type: $tpe\r\n")
+      sb.append(s"WARC-Record-ID: <urn:uuid:doc$id-$tpe-${block.length}>\r\n")
+      sb.append("WARC-Date: 2020-01-01T00:00:00Z\r\n")
+      if (uri.nonEmpty) sb.append(s"WARC-Target-URI: $uri\r\n")
+      sb.append(s"Content-Type: $ctype\r\n")
+      sb.append(s"Content-Length: ${block.length}\r\n\r\n")
+      sb.toString.getBytes("UTF-8") ++ block ++ crlf2
+    }
+    def http200(ctype: String, body: Array[Byte],
+                chunked: Boolean): Array[Byte] = {
+      if (!chunked)
+        (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++ body
+      else {
+        val half = body.length / 2
+        val out = new java.io.ByteArrayOutputStream()
+        out.write((s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+          "Transfer-Encoding: chunked\r\n\r\n").getBytes("UTF-8"))
+        for (c <- Seq(body.slice(0, half), body.slice(half, body.length))
+             if c.nonEmpty) {
+          out.write(java.lang.Integer.toHexString(c.length).getBytes("UTF-8"))
+          out.write('\r'); out.write('\n')
+          out.write(c)
+          out.write('\r'); out.write('\n')
+        }
+        out.write("0\r\n\r\n".getBytes("UTF-8"))
+        out.toByteArray
+      }
+    }
+    val recs = Seq(
+      record("warcinfo", "", "application/warc-fields",
+        "software: graft-corpusgen\r\n".getBytes("UTF-8")),
+      record("request", pageUri, "application/http; msgtype=request",
+        s"GET /doc$id/page.html HTTP/1.1\r\nHost: graft.test\r\n\r\n"
+          .getBytes("UTF-8")),
+      record("response", pageUri, "application/http; msgtype=response",
+        http200("text/html; charset=utf-8", html, chunked = false)),
+      record("response", noteUri, "application/http; msgtype=response",
+        http200("text/plain; charset=utf-8", noteText.getBytes("UTF-8"),
+          chunked = true)),
+      record("response", s"http://graft.test/doc$id/missing.txt",
+        "application/http; msgtype=response",
+        "HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\nnot here"
+          .getBytes("UTF-8")),
+      record("revisit", pageUri, "application/http; msgtype=response",
+        Array.empty[Byte]),
+      record("metadata", pageUri, "application/warc-fields",
+        "fetchTimeMs: 12\r\n".getBytes("UTF-8")))
+    if (gzipMembers) recs.map(renderGzip).reduce(_ ++ _)
+    else recs.reduce(_ ++ _)
+  }
+
   def renderTar(members: Seq[(String, Array[Byte])]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     for ((name, bytes) <- members) {

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Operators that CONSUME the interleaved spans table shape —
+  * `(doc_id: string, spans: array<struct<kind,text,media_ref,offset>>)` —
+  * the storage schema the extraction pipeline emits (see
+  * `graft.core.Span`). Where the `x_*` queries prove the engine can
+  * *produce* that table from raw bytes, these prove it can run
+  * corpus-scale main-content extraction *over* it: the second pass a
+  * training-data pipeline runs after ingestion (strip cross-document
+  * boilerplate, render interleaved text+media into model input).
+  *
+  * Scale shape: both operators keep span text OUT of wide exchanges. The
+  * boilerplate detector shuffles only (hash, doc_id) pairs; the verdict
+  * join is an 8-byte-key join against a small aggregated side (AQE
+  * broadcasts it); rendering is a pure per-row expression (no shuffle at
+  * all). */
+object SpanOps {
+
+  private val SpanCols = Seq("kind", "text", "media_ref", "offset")
+
+  /** Explode the nested spans array, keeping the array index as `pos` —
+    * the order key of span-sequence equality. */
+  def explodeSpans(docs: DataFrame, idCol: String = "doc_id",
+                   spansCol: String = "spans"): DataFrame =
+    docs.select(col(idCol), posexplode(col(spansCol)).as(Seq("pos", "sp")))
+      .select(col(idCol) +: col("pos") +:
+        SpanCols.map(c => col(s"sp.$c").as(c)): _*)
+
+  /** Cross-document boilerplate strip over the interleaved table: a text
+    * span whose exact content appears in ≥ `minDocs` distinct documents
+    * (nav bars, cookie notices, footers — the CCNet/RefinedWeb line-dedup
+    * signal applied at span granularity) is dropped; media spans and
+    * document-specific text survive with their original positions, so the
+    * output remains a valid (sub)sequence of the input spans.
+    *
+    * Plan: doc-frequency over `xxhash64(text)` — a distinct + groupBy
+    * whose exchange carries only (8-byte hash, doc_id) — then one
+    * `left_anti` join of the exploded spans against the (small)
+    * over-threshold hash set. Media spans get a null join key, which an
+    * equi-join never matches, so they are structurally un-droppable. */
+  def stripBoilerplate(spark: SparkSession, docs: DataFrame, minDocs: Int = 5,
+                       idCol: String = "doc_id",
+                       spansCol: String = "spans"): DataFrame = {
+    val ex = explodeSpans(docs, idCol, spansCol)
+    val textHash = ex.filter(col("kind") === "text")
+      .select(col(idCol), xxhash64(col("text")).as("h"))
+    val boiler = textHash.distinct()
+      .groupBy("h").agg(count(lit(1)).as("ddf"))
+      .filter(col("ddf") >= minDocs)
+      .select("h")
+    ex.withColumn("h",
+        when(col("kind") === "text", xxhash64(col("text"))))
+      .join(boiler, Seq("h"), "left_anti")
+      .drop("h")
+  }
+
+  /** Render the interleaved spans into model-input text: text spans in
+    * order, each media span replaced by a placeholder token (the
+    * interleaved-multimodal training prep — images stay addressable via
+    * the blobs table through `media_ref`, the text stream carries the
+    * slot). Pure codegen'd per-row expression: `transform` + `array_join`
+    * over the nested array, no explode, no shuffle. */
+  def renderInterleaved(docs: DataFrame, mediaToken: String = "<|media|>",
+                        idCol: String = "doc_id",
+                        spansCol: String = "spans"): DataFrame =
+    docs.select(col(idCol),
+      array_join(transform(col(spansCol), sp =>
+        when(sp.getField("kind") === "text", sp.getField("text"))
+          .otherwise(lit(mediaToken))), "\n").as("text"),
+      size(filter(col(spansCol), sp => sp.getField("kind") =!= "text"))
+        .cast("long").as("n_media"))
+}

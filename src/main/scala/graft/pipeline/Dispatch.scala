@@ -26,6 +26,7 @@ object Dispatch {
     RarExtractor, // store-method + symlink members extracted from headers;
                   // compressed members skipped (no public codec spec)
     ZipExtractor,
+    WarcExtractor, // beyond the reference: Common Crawl container
     TarExtractor,
     SevenZipExtractor,
     GzipExtractor,

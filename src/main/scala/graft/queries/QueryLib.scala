@@ -105,6 +105,14 @@ object QueryLib extends Serializable {
           ("a.txt", text.getBytes("UTF-8")),
           ("b.txt", s"copy of doc $id".getBytes("UTF-8"))))
         (s"doc$id.tar.gz", CorpusGen.renderGzip(tar))
+      case "warc" =>
+        // even ids plain .warc, odd ids the member-per-record .warc.gz —
+        // one oracle covers both container paths (same URIs and bodies)
+        val html = CorpusGen.renderHtml(s"Doc $id", s"Summary $id",
+          Seq("alpha", "beta"), text)
+        val gz = id % 2 == 1
+        (if (gz) s"doc$id.warc.gz" else s"doc$id.warc",
+          CorpusGen.renderWarc(id, html, s"copy of doc $id", gz))
       case "html_boiler" =>
         (s"doc$id.html", CorpusGen.renderBoilerplateHtml(s"Doc $id", text))
       case "xml" =>

@@ -31,28 +31,62 @@ object Sources {
     val df = pathGlobFilter.fold(reader)(g => reader.option("pathGlobFilter", g))
       .load(root)
       .filter(col("length") <= maxBytesPerFile)
-    // Resolve the root the same way the binaryFile scan reports row paths:
-    // through the Hadoop FileSystem, so HDFS/S3A/file: roots, trailing
-    // slashes, and relative local paths all relativize correctly.
-    val hadoopRoot = new org.apache.hadoop.fs.Path(root)
-    val fs = hadoopRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val qualified = fs.makeQualified(hadoopRoot)
-    // binaryFile reports Path.toString form (file:/x); also accept the URI
-    // form (file:///x) in case a source reports that instead
-    val rootPrefixes = Seq(qualified.toString, qualified.toUri.toString)
-      .map(_.stripSuffix("/"))
+    val prefixes = rootPrefixes(spark, root)
     val skip = skipEntries
     df.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .map { case (path, bytes) =>
-        val rel = {
-          val p = rootPrefixes.find(path.startsWith).fold(path)(path.stripPrefix)
-            .stripPrefix("/")
-          if (p.isEmpty) path.split('/').last else p
-        }
+        val rel = relativize(path, prefixes)
         val name = rel.split('/').last
         PendingDoc(rel, "", Seq.empty, 0, name, "", bytes)
       }
       .filter(d => !d.doc_id.split('/').exists(skip.contains))
+  }
+
+  /** Resolve the root the same way the binaryFile scan reports row paths:
+    * through the Hadoop FileSystem, so HDFS/S3A/file: roots, trailing
+    * slashes, and relative local paths all relativize correctly.
+    * binaryFile reports Path.toString form (file:/x); also accept the URI
+    * form (file:///x) in case a source reports that instead. */
+  private def rootPrefixes(spark: SparkSession, root: String): Seq[String] = {
+    val hadoopRoot = new org.apache.hadoop.fs.Path(root)
+    val fs = hadoopRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(hadoopRoot)
+    Seq(qualified.toString, qualified.toUri.toString).map(_.stripSuffix("/"))
+  }
+
+  private def relativize(path: String, prefixes: Seq[String]): String = {
+    val p = prefixes.find(path.startsWith).fold(path)(path.stripPrefix)
+      .stripPrefix("/")
+    if (p.isEmpty) path.split('/').last else p
+  }
+
+  /** Record-level WARC source (beyond the reference: the Common Crawl
+    * input shape). Scans `*.warc` / `*.warc.gz` under `root` and emits
+    * one PendingDoc per kept payload (2xx HTTP responses and resource
+    * records — see [[graft.extract.Warc.payloads]]): doc_id =
+    * `<root-relative path>#<record index>` (stable, resume-friendly),
+    * file_name = the WARC-Target-URI (what the classifier routes on),
+    * mime_hint = the HTTP Content-Type. Parallelism is file-granular —
+    * the standard crawl shape of one task per ~1 GB warc; the flatMap is
+    * narrow, so payload bytes never shuffle. */
+  def fromWarcs(spark: SparkSession, root: String,
+                maxBytesPerFile: Long = 2L * 1024 * 1024 * 1024)
+      : Dataset[PendingDoc] = {
+    import spark.implicits._
+    val df = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.warc*")
+      .load(root)
+      .filter(col("length") <= maxBytesPerFile)
+    val prefixes = rootPrefixes(spark, root)
+    df.select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val rel = relativize(path, prefixes)
+        graft.extract.Warc.payloads(graft.extract.Warc.plainBytes(bytes))
+          .iterator.zipWithIndex.map { case ((uri, mime, body), i) =>
+            PendingDoc(s"$rel#$i", "", Seq.empty, 0, uri, mime, body)
+          }
+      }
   }
 }
