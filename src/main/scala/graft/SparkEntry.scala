@@ -636,6 +636,48 @@ object SparkEntry {
       TextOps.decontaminate(s, docs, bench, "doc_id", "text", 13)
         .orderBy("doc_id")
     }),
+    // crawl-grade URL canonicalization (scheme/host lowering, www +
+    // default-port strip, tracking-param drop, param sort, fragment drop,
+    // path normalization) + registrable domain — all one codegen'd
+    // expression chain over deterministically synthesized messy URLs
+    "t_url_canon" -> ((s, dir) => {
+      val id = col("doc_id").cast("long")
+      val url = concat(
+        when(id % 3 === 0, "HTTP").otherwise("https"), lit("://"),
+        when(id % 2 === 0, "WWW.").otherwise(""),
+        lit("site"), (id % 7).cast("string"),
+        when(id % 3 === 0, ".example.co.uk").otherwise(".example.com"),
+        when(id % 5 === 0, when(id % 3 === 0, ":80").otherwise(":443"))
+          .when(id % 5 === 1, ":8080").otherwise(""),
+        lit("/Path"), (id % 50).cast("string"),
+        when(id % 4 === 0, "/").otherwise(""),
+        when(id % 2 === 0, "?utm_source=feed&b=2&a=1")
+          .when(id % 11 === 0, "?z=9").otherwise(""),
+        when(id % 6 === 0, concat(lit("#sec"), id.cast("string"))).otherwise(""))
+      val host = graft.ops.UrlOps.hostOf(col("url"))
+      QueryLib.documents(s, dir)
+        .select(id.as("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          graft.ops.UrlOps.canonicalizeUrl(col("url")).as("canon"),
+          host.as("host"),
+          graft.ops.UrlOps.registrableDomain(host).as("domain"))
+        .orderBy("doc_id")
+    }),
+    // per-canonical-URL first-seen dedup (the crawl frontier collapse):
+    // 25 planted canonical groups, winner = min doc_id, dup count checked
+    // against a hand-written expected canonical (independent derivation,
+    // not mirrored code)
+    "t_url_dedup" -> ((s, dir) => {
+      val id = col("doc_id").cast("long")
+      val url = concat(lit("https://www.example.com/page"),
+        (id % 25).cast("string"),
+        when(id % 2 === 0, "?utm_source=x").otherwise(""))
+      val docs = QueryLib.documents(s, dir)
+        .select(id.as("doc_id"), url.as("url"))
+      graft.ops.UrlOps.dedupByCanonicalUrl(docs, "url", "doc_id")
+        .select(col("doc_id"), col("url"), col("canon_url"), col("n_dups"))
+        .orderBy("canon_url")
+    }),
     // per-source quota: top-10 docs per source by size (window top-N)
     "t_domain_cap" -> ((s, dir) => {
       TextOps.capPerSource(QueryLib.documents(s, dir)
@@ -1390,6 +1432,76 @@ object SparkEntry {
         |SELECT toks.doc_id AS doc_id, c.doc_id IS NOT NULL AS contaminated
         |FROM toks LEFT JOIN c ON toks.doc_id = c.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "t_url_canon" ->
+      """WITH u AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    'site' || (doc_id % 7) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '.example.co.uk' ELSE '.example.com' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN
+        |            (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
+        |          WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) ||
+        |    '/Path' || (doc_id % 50) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+        |          WHEN doc_id % 11 = 0 THEN '?z=9' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '#sec' || doc_id ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)),
+        |      '^www\.', '') AS hostport,
+        |    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+        |  FROM u),
+        |d AS (
+        |  SELECT id, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         ELSE hostport END AS host,
+        |    CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+        |    list_sort(list_filter(string_split(rawq, '&'),
+        |      p -> len(p) > 0 AND NOT regexp_matches(p,
+        |        '^(utm_[^=]*|gclid|fbclid|ref)='))) AS params
+        |  FROM c),
+        |e AS (
+        |  SELECT id, scheme, host, path, params,
+        |         string_split(regexp_replace(host, ':[0-9]+$', ''), '.') AS labels,
+        |         regexp_replace(host, ':[0-9]+$', '') AS bare
+        |  FROM d)
+        |SELECT id AS doc_id,
+        |  scheme || '://' || host || path ||
+        |    (CASE WHEN len(params) = 0 THEN ''
+        |          ELSE '?' || array_to_string(params, '&') END) AS canon,
+        |  host,
+        |  CASE WHEN len(labels) <= 2 THEN bare
+        |       WHEN (labels[-2] || '.' || labels[-1]) IN ('co.uk', 'org.uk',
+        |         'ac.uk', 'gov.uk', 'co.jp', 'co.in', 'co.nz', 'co.za',
+        |         'co.kr', 'com.au', 'net.au', 'org.au', 'com.br', 'com.mx',
+        |         'com.cn', 'com.tw', 'com.sg', 'com.hk')
+        |         THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+        |       ELSE labels[-2] || '.' || labels[-1] END AS domain
+        |FROM e ORDER BY doc_id""".stripMargin,
+    "t_url_dedup" ->
+      """WITH u AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |    'https://www.example.com/page' || (doc_id % 25) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT id, url,
+        |         'https://example.com/page' || (id % 25) AS canon_url
+        |  FROM u),
+        |w AS (
+        |  SELECT canon_url, min(id) AS id, count(*) AS n_dups
+        |  FROM c GROUP BY canon_url)
+        |SELECT c.id AS doc_id, c.url, c.canon_url,
+        |       CAST(w.n_dups AS BIGINT) AS n_dups
+        |FROM c JOIN w ON c.canon_url = w.canon_url AND c.id = w.id
+        |ORDER BY c.canon_url""".stripMargin,
     "t_domain_cap" ->
       """SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
         |  SELECT doc_id, source,

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Crawl-grade URL operators — the normalization a web-scale pipeline
+  * runs between the WARC source and per-URL/per-domain dedup or quota
+  * capping (cf. the URL frontier/dedup stages of any crawl corpus
+  * pipeline; beyond the reference's scope, per the builder contract).
+  *
+  * Everything is a pure codegen'd `Column` expression chain (regexp +
+  * array ops, no UDF), so canonicalization fuses into the scan stage and
+  * at 100 TB the only exchange a URL-dedup needs is on the canonical
+  * string's 64-bit hash.
+  *
+  * Canonical form (the common subset of the Safe Browsing / crawler
+  * conventions, chosen to be engine-portable so a DuckDB oracle can
+  * replay it):
+  *  - scheme and host lowercased; fragment dropped
+  *  - leading `www.` dropped; default port (`:80` http, `:443` https)
+  *    dropped, other ports kept
+  *  - tracking params dropped (`utm_*`, `gclid`, `fbclid`, `ref`),
+  *    remaining query params sorted for order-insensitivity
+  *  - empty path becomes `/`; other trailing slashes trimmed
+  */
+object UrlOps {
+
+  private val TrackingRe = "^(utm_[^=]*|gclid|fbclid|ref)="
+
+  def schemeOf(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** lowercased host, `www.` and scheme-default port stripped. */
+  def hostOf(url: Column): Column = {
+    val hostPort = lower(regexp_extract(url, "^[^:/?#]+://([^/?#]+)", 1))
+    val noWww = regexp_replace(hostPort, "^www\\.", "")
+    when(schemeOf(url) === "http", regexp_replace(noWww, ":80$", ""))
+      .when(schemeOf(url) === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+  }
+
+  def pathOf(url: Column): Column = {
+    val p = regexp_extract(url, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val trimmed = regexp_replace(p, "/+$", "")
+    when(trimmed === "", lit("/")).otherwise(trimmed)
+  }
+
+  /** Query string with tracking params dropped and the rest sorted;
+    * empty string when nothing survives. */
+  def queryOf(url: Column): Column = {
+    val raw = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = filter(split(raw, "&"),
+      p => length(p) > 0 && not(p.rlike(TrackingRe)))
+    when(size(params) > 0, array_join(array_sort(params), "&"))
+      .otherwise(lit(""))
+  }
+
+  def canonicalizeUrl(url: Column): Column = {
+    val q = queryOf(url)
+    concat(schemeOf(url), lit("://"), hostOf(url), pathOf(url),
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** Country-code second-level domains where the registrable unit is
+    * three labels (`example.co.uk`), from the public-suffix list's
+    * best-known entries — a deliberately small deterministic subset (the
+    * full PSL is a data file a deployment would broadcast). */
+  private val CcSlds = Seq("co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp",
+    "co.in", "co.nz", "co.za", "co.kr", "com.au", "net.au", "org.au",
+    "com.br", "com.mx", "com.cn", "com.tw", "com.sg", "com.hk")
+
+  /** Registrable domain of a host: last two labels, or last three when
+    * the suffix is a known cc-SLD. A port, if present (non-default ports
+    * survive [[hostOf]]), is stripped first. */
+  def registrableDomain(host: Column): Column = {
+    val bare = regexp_replace(host, ":\\d+$", "")
+    val labels = split(bare, "\\.")
+    val n = size(labels)
+    val lastTwo = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val lastThree = concat_ws(".", element_at(labels, -3), lastTwo)
+    when(n <= 2, bare)
+      .when(lastTwo.isin(CcSlds: _*), lastThree)
+      .otherwise(lastTwo)
+  }
+
+  /** Per-canonical-URL first-seen dedup: keeps the minimum `orderCol` row
+    * per canonical URL and counts the collapsed duplicates — the crawl
+    * frontier's "have I fetched this" collapse as a batch op. Exchange
+    * carries (64-bit canon hash, order key) only; the winner joins back
+    * by (hash, order) equality, so URL strings never ride a shuffle. */
+  def dedupByCanonicalUrl(df: DataFrame, urlCol: String, orderCol: String)
+      : DataFrame = {
+    val canon = canonicalizeUrl(col(urlCol)).as("canon_url")
+    val withCanon = df.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
+      .withColumn("canon_h", xxhash64(col("canon_url")))
+    val winners = withCanon
+      .groupBy(col("canon_h"))
+      .agg(min(col(orderCol)).as(orderCol), count(lit(1)).as("n_dups"))
+    withCanon.join(winners, Seq("canon_h", orderCol))
+      .drop("canon_h")
+  }
+}

@@ -581,6 +581,25 @@ class OpsSpec extends AnyFunSuite {
       (if (rows(1L).duration_ms % 60000 > 0) 1 else 0))
   }
 
+  test("url canonicalization edges: bare path, kept port, tracking-only query, cc-SLD") {
+    import graft.ops.UrlOps
+    val urls = Seq(
+      "https://Example.COM",                       // no path -> /
+      "http://www.a.example.com:80/x/",            // www + default port + slash
+      "https://b.example.com:8443/y?gclid=1&ref=z",// kept port, all params tracked
+      "HTTP://news.bbc.CO.UK/art?b=2&a=1#frag"     // cc-SLD + param sort + frag
+    ).zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val host = UrlOps.hostOf(org.apache.spark.sql.functions.col("url"))
+    val got = urls.select(org.apache.spark.sql.functions.col("id"),
+        UrlOps.canonicalizeUrl(org.apache.spark.sql.functions.col("url")).as("c"),
+        UrlOps.registrableDomain(host).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got(0L) == ("https://example.com/", "example.com"))
+    assert(got(1L) == ("http://a.example.com/x", "example.com"))
+    assert(got(2L) == ("https://b.example.com:8443/y", "example.com"))
+    assert(got(3L) == ("http://news.bbc.co.uk/art?a=1&b=2", "bbc.co.uk"))
+  }
+
   test("analysis patterns: email/phone/iban extraction with cleanup") {
     // NB: the reference's IBAN regex (analysis/patterns.py:10-13) requires 7
     // consecutive digits — compact IBANs match, fully-spaced ones don't

@@ -111,6 +111,32 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.forall(l => !l.contains("line#")), exchanges.mkString("\n"))
   }
 
+  test("spans boilerplate strip: df exchanges carry 8-byte hashes only; verdict join broadcasts") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+      .as[(String, String)]
+      .map { case (id, t) => (id, Seq(
+        graft.core.Span("text", "shared header", "", 0),
+        graft.core.Span("text", String.valueOf(t).take(40), "", 1),
+        graft.core.Span("image", "", s"blob-$id", 2))) }
+      .toDF("doc_id", "spans")
+    val out = graft.ops.SpanOps.stripBoilerplate(spark, docs, 5)
+    out.collect() // materialize so AQE's final (runtime) plan is inspected
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toVector
+    // the doc-frequency shuffles key on the span-text hash; the span text
+    // itself must never ride an exchange
+    assert(exchanges.nonEmpty && exchanges.forall(l => !l.contains("text#")),
+      exchanges.mkString("\n"))
+    // AQE must turn the small over-threshold hash set into a broadcast
+    // left_anti — a sort-merge here would shuffle every span by hash
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(2000))
+  }
+
   test("x_* renderPending stays a single narrow stage over the scan (no shuffle before extraction)") {
     assume(new java.io.File(s"$sfDir/documents.parquet").exists)
     import spark.implicits._
