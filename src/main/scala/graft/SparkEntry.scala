@@ -636,6 +636,37 @@ object SparkEntry {
       TextOps.decontaminate(s, docs, bench, "doc_id", "text", 13)
         .orderBy("doc_id")
     }),
+    // corpus text normalization: native codegen'd NFC (planted combining
+    // sequences must compose) + control strip, oracled against DuckDB's
+    // independent nfc_normalize implementation
+    "t_normalize" -> ((s, dir) => {
+      val planted = concat(lit("Cafe\u0301 nai\u0308ve \u0007"),
+        substring(col("text"), 1, 200))
+      QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), planted.as("raw"))
+        .select(col("doc_id"), TextOps.normalizeText(col("raw")).as("text"))
+        .orderBy("doc_id")
+    }),
+    // ftfy-style mojibake repair: the corruption is applied in the query
+    // (UTF-8 bytes mis-decoded as cp1252), the repair must recover the
+    // EXACT clean string — which the oracle derives directly, without ever
+    // simulating the corruption (independent derivation); id%10==1 plants
+    // genuine high-byte text that must pass through untouched
+    "t_fix_mojibake" -> ((s, dir) => {
+      import s.implicits._
+      QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t0) =>
+          val t = if (t0 == null) "" else t0
+          val corrupted =
+            if (id % 10 == 1) "À la carte " + t.take(120)
+            else
+              TextOps.corruptAsMojibake(
+                "naïve café — “quoted” übermaß " + t.take(120))
+          (id, TextOps.fixMojibake(corrupted))
+        }).toDF("doc_id", "fixed")
+        .orderBy("doc_id")
+    }),
     // crawl-grade URL canonicalization (scheme/host lowering, www +
     // default-port strip, tracking-param drop, param sort, fragment drop,
     // path normalization) + registrable domain — all one codegen'd
@@ -1432,6 +1463,18 @@ object SparkEntry {
         |SELECT toks.doc_id AS doc_id, c.doc_id IS NOT NULL AS contaminated
         |FROM toks LEFT JOIN c ON toks.doc_id = c.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "t_normalize" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  regexp_replace(nfc_normalize('Cafe' || chr(769) || ' nai' ||
+        |      chr(776) || 've ' || chr(7) || substr(text, 1, 200)),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_fix_mojibake" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE WHEN doc_id % 10 = 1 THEN 'À la carte ' || substr(text, 1, 120)
+        |       ELSE 'naïve café — “quoted” übermaß ' || substr(text, 1, 120)
+        |  END AS fixed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t_url_canon" ->
       """WITH u AS (
         |  SELECT CAST(doc_id AS BIGINT) AS id,

@@ -71,6 +71,43 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native NFC normalization — Spark has no built-in Unicode
+  * normalization function, and a Scala UDF would break whole-stage
+  * codegen. The generated code takes the `isNormalized` fast path
+  * (no allocation for the overwhelmingly-already-NFC web corpus) and
+  * only materializes a new string when composition actually changes
+  * something. */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |String graftNfcS = $c.toString();
+         |if (java.text.Normalizer.isNormalized(graftNfcS, java.text.Normalizer.Form.NFC)) {
+         |  ${ev.value} = $c;
+         |} else {
+         |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |    java.text.Normalizer.normalize(graftNfcS, java.text.Normalizer.Form.NFC));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session-extension registration — the deployment-grade hook of the
   * build contract ("registered via SparkSessionExtensions"): launch with
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions` (or
@@ -84,15 +121,29 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
   }
 }
 
 object GraftFunctions {
 
   /** Registration (idempotent): `SELECT cosine_sim(v1, v2) FROM ...`. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
+  }
+
+  /** Unicode NFC normalization of a string column (codegen'd). */
+  def nfc_normalize(s: Column): Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function("nfc_normalize", s)
+  }
 
   /** cosine similarity of two array<double> columns (codegen'd). Spark 4
     * hides Column.expr, so the Column-side handle goes through the function

@@ -425,6 +425,98 @@ object TextOps {
         .as("boiler_milli"))
   }
 
+  /** Corpus text normalization: Unicode NFC composition (via the native
+    * codegen'd [[graft.functions.NfcNormalize]] expression — Spark has no
+    * built-in) followed by a C0/C1-control strip. One fused codegen'd
+    * projection; the standard first cleaning pass of a web corpus. */
+  def normalizeText(text: Column): Column =
+    regexp_replace(graft.functions.GraftFunctions.nfc_normalize(text),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+
+  /** The usual mojibake culprit codec (exposed for tests/synthesis). */
+  lazy val mojibakeCharset: java.nio.charset.Charset =
+    java.nio.charset.Charset.forName("windows-1252")
+
+  /** "Sloppy cp1252" decode table (what browsers and ftfy model): the
+    * real windows-1252 C1 mappings, with the five undefined bytes (0x81
+    * 0x8D 0x8F 0x90 0x9D — which Java's decoder turns into U+FFFD,
+    * destroying the roundtrip) falling back to their latin-1 identity. */
+  private lazy val sloppyDecode: Array[Char] = {
+    val arr = new Array[Char](256)
+    var b = 0
+    while (b < 256) { arr(b) = b.toChar; b += 1 }
+    b = 0x80
+    while (b <= 0x9f) {
+      val s = new String(Array(b.toByte), mojibakeCharset)
+      if (s.length == 1 && s.charAt(0) != '�') arr(b) = s.charAt(0)
+      b += 1
+    }
+    arr
+  }
+
+  /** char → byte inverse of [[sloppyDecode]]; chars outside the table
+    * mean "this string was never a cp1252 mis-decode". */
+  private lazy val sloppyEncode: java.util.HashMap[Character, java.lang.Byte] = {
+    val m = new java.util.HashMap[Character, java.lang.Byte](512)
+    var b = 0
+    while (b < 256) { m.put(b.toChar, b.toByte); b += 1 }
+    b = 0x80
+    while (b <= 0x9f) { m.put(sloppyDecode(b), b.toByte); b += 1 }
+    m
+  }
+
+  /** Simulate the corruption: UTF-8 bytes mis-decoded as (sloppy) cp1252
+    * — "café" → "cafÃ©". Used by tests and oracle synthesis. */
+  def corruptAsMojibake(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(sloppyDecode(bytes(i) & 0xff)); i += 1 }
+    sb.toString
+  }
+
+  /** ftfy-style mojibake repair: text that was UTF-8 on the wire but got
+    * decoded as (sloppy) windows-1252 somewhere ("café" → "cafÃ©") is
+    * recovered by replaying the mistake backwards — re-encode through the
+    * sloppy-cp1252 inverse, strictly decode as UTF-8. Text that is NOT
+    * mojibake ("À la carte") fails the strict UTF-8 decode and passes
+    * through untouched; a repair is accepted only when it shrinks the
+    * string (a UTF-8 mis-decode always inflates). Up to `maxRounds`
+    * undoes stacked mojibake. Pure per-row Scala for map stages —
+    * narrow, no shuffle. */
+  def fixMojibake(s: String, maxRounds: Int = 3): String = {
+    if (s == null) return null
+    var cur = s
+    var round = 0
+    var changed = true
+    while (round < maxRounds && changed) {
+      changed = false
+      if (cur.exists(_ >= 0x80)) {
+        val bytes = new Array[Byte](cur.length)
+        var i = 0
+        var encodable = true
+        while (encodable && i < cur.length) {
+          val b = sloppyEncode.get(cur.charAt(i))
+          if (b == null) encodable = false
+          else { bytes(i) = b; i += 1 }
+        }
+        if (encodable) {
+          try {
+            val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+              .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+              .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+              .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+            if (dec != cur && dec.length < cur.length) { cur = dec; changed = true }
+          } catch {
+            case _: java.nio.charset.CharacterCodingException => // not mojibake
+          }
+        }
+      }
+      round += 1
+    }
+    cur
+  }
+
   /** Language ID over 26 languages: script vote + Cavnar–Trenkle trigram
     * profiles (see [[LangId]]), standing in for the reference's fastText
     * lid.176 call at `/root/reference/ingestors/analysis/language.py:10-26`.

@@ -581,6 +581,35 @@ class OpsSpec extends AnyFunSuite {
       (if (rows(1L).duration_ms % 60000 > 0) 1 else 0))
   }
 
+  test("mojibake repair: single + double corruption undone, genuine accents untouched") {
+    import graft.ops.TextOps.{corruptAsMojibake => corrupt, fixMojibake}
+    val clean = "naïve café — “quoted” übermaß"
+    assert(fixMojibake(corrupt(clean)) == clean)
+    assert(fixMojibake(corrupt(corrupt(clean))) == clean) // double mojibake
+    assert(fixMojibake("À la carte, s'il vous plaît") == "À la carte, s'il vous plaît")
+    assert(fixMojibake("plain ascii stays") == "plain ascii stays")
+    assert(fixMojibake(null) == null)
+  }
+
+  test("nfc_normalize expression: composes combining sequences inside codegen") {
+    val df = Seq(("Cafe\u0301", 1), ("already café", 2), (null, 3))
+      .toDF("s", "id")
+    val out = df.select(org.apache.spark.sql.functions.col("id"),
+        graft.functions.GraftFunctions.nfc_normalize(
+          org.apache.spark.sql.functions.col("s")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "Café")
+    assert(out(2) == "already café")
+    assert(out(3) == null)
+    // normalizeText: NFC then control strip, one projection
+    val norm = df.select(graft.ops.TextOps.normalizeText(
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("x\u0007y "),
+        org.apache.spark.sql.functions.col("s"))).as("t"))
+      .collect().map(_.getString(0))
+    assert(norm.contains("xy Café"))
+  }
+
   test("url canonicalization edges: bare path, kept port, tracking-only query, cc-SLD") {
     import graft.ops.UrlOps
     val urls = Seq(
