@@ -134,6 +134,12 @@ object Bench {
           (id + 10000000L * k, t)
         }
       }.toDF("id", "text")
+        // the 5000-row base parquet is ONE split, and narrow flatMaps
+        // inherit it — without this every narrow stage over the tile runs
+        // as a single task no matter the core count (a real corpus
+        // arrives in many files); synthesis-time shuffle, outside the
+        // clock
+        .repartition(math.max(32, cpus.toInt * 3))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       tiled.count() // synthesis outside the clock
       val corpusRuns = (1 to 2).map { _ =>
@@ -143,6 +149,45 @@ object Bench {
         }._1
       }
       results += ("dedup_corpus" -> corpusRuns.min)
+
+      // interleaved-spans boilerplate strip over the SAME tiled corpus,
+      // lifted to the nested (doc_id, spans[]) shape. Body groups carry a
+      // per-doc salt so only the planted header/footer spans are
+      // cross-document — the actual boilerplate regime, where the
+      // over-threshold verdict set is tiny and AQE broadcasts it. (The
+      // salt matters: tiling exact text copies instead makes MOST spans
+      // "boilerplate", the verdict set outgrows the broadcast threshold,
+      // and the join degrades to a text-carrying sort-merge — measured
+      // 17.1 s / 13.5 s at 2/8 cores, efficiency 0.32. That regime is
+      // what dedupCorpus, not stripBoilerplate, is for.) At sf0.1 the
+      // un-tiled op sits under the per-job scheduling floor (~0.5 s), so
+      // the tile is what puts the hash-df exchange into the
+      // measurable-scaling regime.
+      val spansTiled = tiled.as[(Long, String)].map { case (id, text) =>
+        val toks = graft.core.TextUtil.tokens(text)
+        val n = (toks.length + 7) / 8
+        val buf = scala.collection.mutable.ArrayBuffer.empty[graft.core.Span]
+        buf += graft.core.Span("text", "subscribe to our newsletter today.", "", 0)
+        var i = 0
+        while (i < n) {
+          buf += graft.core.Span("text",
+            toks.slice(8 * i, 8 * i + 8).mkString(" ") + s" d$id", "", 8 * i)
+          if ((id + i) % 5 == 0) buf += graft.core.Span("image", "", s"b$id-$i", 8 * i)
+          i += 1
+        }
+        if (id % 4 == 0)
+          buf += graft.core.Span("text", "copyright example site all rights reserved", "", 8 * n)
+        (id.toString, buf.toSeq)
+      }.toDF("doc_id", "spans")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      spansTiled.count() // synthesis outside the clock
+      val stripRuns = (1 to 2).map { _ =>
+        time {
+          graft.ops.SpanOps.stripBoilerplate(spark, spansTiled, 5).count()
+        }._1
+      }
+      results += ("spans_strip" -> stripRuns.min)
+      spansTiled.unpersist()
       tiled.unpersist()
     }
 
@@ -150,15 +195,27 @@ object Bench {
     // best-of-3 per query — single-shot timings on this host are noise
     // (hypervisor steal; see BASELINE.md methodology).
     // SPARK_GRAFT_PIPELINE_ONLY=1 skips them for pure scaling measurements
-    val benchQueries =
+    // SPARK_GRAFT_QUERIES=a,b,c restricts the query set (scaling series
+    // for individual operators at several SPARK_GRAFT_CPUS levels)
+    val benchQueries0 =
       if (sys.env.contains("SPARK_GRAFT_PIPELINE_ONLY")) Seq.empty[String]
-      else Seq("x_html", "x_zip_children", "x_ocr", "t_ocr_cache",
+      else Seq("x_html", "x_zip_children", "x_warc", "x_ocr", "t_ocr_cache",
         "t_quality",
         "t_token_count", "t_lang_id", "t_minhash_lsh", "t_simhash",
         "t_filter_gopher", "t_vocab", "t_filter_c4", "t_line_dedup",
         "t_decontaminate", "t_domain_cap",
+        "t_url_canon", "t_url_dedup", "t_normalize", "t_fix_mojibake",
+        "i_spans_strip", "i_spans_render",
         "s_ann_brute", "s_ann_lsh", "s_ann_ivf", "s_ann_ivfpq", "a_patterns",
         "a_thread_join")
+    val benchQueries = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(qs) =>
+        val wanted = qs.split(',').map(_.trim).filter(_.nonEmpty)
+        val unknown = wanted.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty, s"unknown SPARK_GRAFT_QUERIES: ${unknown.mkString(",")}")
+        wanted.toSeq
+      case None => benchQueries0
+    }
     for (q <- benchQueries) {
       val fn = SparkEntry.queries(q)
       val secs = (1 to 3).map { _ =>

@@ -573,6 +573,21 @@ object SparkEntry {
       TextOps.sharedNgramStats(s, base.unionByName(halves), "id", "text")
         .orderBy("id")
     }),
+    // the Lee et al. 2021 REMOVAL transform on the same planted
+    // half-copies: tokens covered by a cross-document 20-gram are cut,
+    // so each half-copy empties and each source keeps its unique tail
+    "t_strip_dupsub" -> ((s, dir) => {
+      import s.implicits._
+      val base = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+      val halves = base.as[(Long, String)].map { case (id, t) =>
+        val toks = graft.core.TextUtil.tokens(t)
+        val l = math.max(toks.length / 2, 21)
+        (id + 1000000L, toks.take(l).mkString(" "))
+      }.toDF("id", "text")
+      TextOps.stripDupSubstrings(s, base.unionByName(halves), "id", "text")
+        .orderBy("id")
+    }),
     // PII redaction: planted email + phone per doc, the exact
     // regexp_replace chain replayed by the DuckDB oracle
     "t_redact" -> ((s, dir) => {
@@ -1374,6 +1389,42 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS shared_grams
         |FROM g JOIN d USING (gram) GROUP BY id ORDER BY id""".stripMargin,
+    "t_strip_dupsub" ->
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |alldocs AS (
+        |  SELECT id, toks FROM base
+        |  UNION ALL
+        |  SELECT id + 1000000,
+        |         toks[1:greatest(CAST(len(toks) // 2 AS BIGINT), 21)]
+        |  FROM base),
+        |g AS (
+        |  SELECT id, i, array_to_string(toks[i:i+19], ' ') AS gram
+        |  FROM alldocs, unnest(range(1, len(toks) - 18)) AS r(i)
+        |  WHERE len(toks) >= 20),
+        |d AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT id) AS nd FROM g GROUP BY gram)
+        |  WHERE nd >= 2),
+        |cov AS (
+        |  SELECT DISTINCT g.id, jj
+        |  FROM g JOIN d USING (gram), unnest(range(g.i, g.i + 20)) AS rr(jj)),
+        |tokrows AS (
+        |  SELECT id, j, toks[j] AS tok, len(toks) AS nt
+        |  FROM alldocs, unnest(range(1, len(toks) + 1)) AS r2(j)),
+        |outq AS (
+        |  SELECT t.id,
+        |         coalesce(string_agg(CASE WHEN c.jj IS NULL THEN t.tok END,
+        |           ' ' ORDER BY t.j), '') AS clean_text,
+        |         max(t.nt) AS n_tokens,
+        |         sum(CASE WHEN c.jj IS NOT NULL THEN 1 ELSE 0 END) AS n_removed
+        |  FROM tokrows t LEFT JOIN cov c ON t.id = c.id AND t.j = c.jj
+        |  GROUP BY t.id)
+        |SELECT id, clean_text, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(n_removed AS BIGINT) AS n_removed
+        |FROM outq ORDER BY id""".stripMargin,
     "t_redact" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  regexp_replace(

@@ -118,6 +118,68 @@ object TextOps {
         sum(when(col("nd") > 1, 1L).otherwise(0L)).as("shared_grams"))
   }
 
+  /** The REMOVAL transform of Lee et al. 2021 (ExactSubstr dedup): every
+    * token covered by an n-token gram that occurs in ≥2 distinct
+    * documents is cut; the survivors rejoin in order. Complements
+    * [[sharedNgramStats]] (the signal) with the actual rewrite.
+    *
+    * Scale shape: gram positions explode narrowly; the duplicate-gram
+    * aggregation and the coverage join key on the gram's 64-bit xxhash —
+    * only (8-byte hash, id, int start) ride those exchanges. The single
+    * full-text shuffle is the final join of covered-start lists back onto
+    * the documents (inherent to a rewrite — some exchange must carry the
+    * text once), and AQE broadcasts the start lists when few docs carry
+    * duplicates. Output: (id, text cleaned, n_tokens, n_removed). */
+  def stripDupSubstrings(spark: org.apache.spark.sql.SparkSession,
+                         df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 20): DataFrame = {
+    import spark.implicits._
+    val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val positions = docs.as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val toks = graft.core.TextUtil.tokens(if (t == null) "" else t)
+        if (toks.length < n) Iterator.empty
+        else toks.sliding(n).zipWithIndex.map { case (g, s) =>
+          (id, s, graft.core.TextUtil.fnv64(g.mkString(" ")))
+        }
+      }
+      .toDF("id", "s", "h")
+    val dup = positions.select("id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val covered = positions.join(dup, "h")
+      .groupBy("id")
+      .agg(collect_list(col("s")).as("starts"))
+    val nn = n
+    docs.join(covered, Seq("id"), "left")
+      .select(col("id"), col("text"), coalesce(col("starts"),
+        array().cast("array<int>")).as("starts"))
+      .as[(Long, String, Seq[Int])]
+      .mapPartitions(_.map { case (id, t, starts) =>
+        val toks = graft.core.TextUtil.tokens(if (t == null) "" else t)
+        val cov = new Array[Boolean](toks.length)
+        starts.foreach { s =>
+          var j = s
+          val end = math.min(s + nn, toks.length)
+          while (j < end) { cov(j) = true; j += 1 }
+        }
+        val kept = new StringBuilder
+        var removed = 0L
+        var i = 0
+        while (i < toks.length) {
+          if (cov(i)) removed += 1
+          else {
+            if (kept.nonEmpty) kept.append(' ')
+            kept.append(toks(i))
+          }
+          i += 1
+        }
+        (id, kept.toString, toks.length.toLong, removed)
+      })
+      .toDF(idCol, "clean_text", "n_tokens", "n_removed")
+  }
+
   /** Deterministic keep-predicate for hash sampling: md5 of (id ++ salt),
     * first 6 hex digits compared against the rate's hex threshold. Engine-
     * portable (any SQL engine with md5 reproduces it exactly), partition-

@@ -81,12 +81,42 @@ object Sources {
       .filter(col("length") <= maxBytesPerFile)
     val prefixes = rootPrefixes(spark, root)
     df.select(col("path"), col("content")).as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val rel = relativize(path, prefixes)
-        graft.extract.Warc.payloads(graft.extract.Warc.plainBytes(bytes))
-          .iterator.zipWithIndex.map { case ((uri, mime, body), i) =>
-            PendingDoc(s"$rel#$i", "", Seq.empty, 0, uri, mime, body)
-          }
+      .flatMap((warcPending(prefixes) _).tupled)
+  }
+
+  /** One WARC file → its kept payloads as pending docs (narrow). */
+  private def warcPending(prefixes: Seq[String])(path: String,
+                          bytes: Array[Byte]): Iterator[PendingDoc] = {
+    val rel = relativize(path, prefixes)
+    graft.extract.Warc.payloads(graft.extract.Warc.plainBytes(bytes))
+      .iterator.zipWithIndex.map { case ((uri, mime, body), i) =>
+        PendingDoc(s"$rel#$i", "", Seq.empty, 0, uri, mime, body)
       }
+  }
+
+  /** Streaming variant of [[fromWarcs]]: `.warc` / `.warc.gz` files
+    * appearing under `root` become micro-batches of response payloads —
+    * the continuous-crawl ingest shape. File discovery is checkpointed by
+    * Structured Streaming, so a restarted job resumes at the first
+    * unprocessed warc; feed the result to
+    * [[graft.streaming.StreamingIngest.extractionQueryToTable]] for
+    * atomic per-batch snapshot commits. */
+  def streamWarcs(spark: SparkSession, root: String): Dataset[PendingDoc] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // binaryFile's fixed schema, stated explicitly as file streams require
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val prefixes = rootPrefixes(spark, root)
+    spark.readStream.format("binaryFile")
+      .schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.warc*")
+      .load(root)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap((warcPending(prefixes) _).tupled)
   }
 }

@@ -581,6 +581,24 @@ class OpsSpec extends AnyFunSuite {
       (if (rows(1L).duration_ms % 60000 > 0) 1 else 0))
   }
 
+  test("strip-dup-substrings: shared 20-gram runs cut, unique text survives verbatim") {
+    val shared = (0 until 30).map(i => s"dup$i").mkString(" ")
+    val df = Seq(
+      (1L, s"alpha bravo $shared charlie delta"),
+      (2L, s"$shared echo foxtrot"),
+      (3L, "totally unrelated words that appear nowhere else at all"))
+      .toDF("id", "text")
+    val got = TextOps.stripDupSubstrings(spark, df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // the 30 shared tokens are covered in both docs; doc-unique pre/post
+    // text survives in order
+    assert(got(1L) == (("alpha bravo charlie delta", 34L, 30L)), got(1L))
+    assert(got(2L) == (("echo foxtrot", 32L, 30L)), got(2L))
+    assert(got(3L)._1 == "totally unrelated words that appear nowhere else at all")
+    assert(got(3L)._3 == 0L)
+  }
+
   test("mojibake repair: single + double corruption undone, genuine accents untouched") {
     import graft.ops.TextOps.{corruptAsMojibake => corrupt, fixMojibake}
     val clean = "naïve café — “quoted” übermaß"

@@ -99,6 +99,46 @@ class StreamingSpec extends AnyFunSuite {
       asOf = Some(snaps.head.id)).count() == n1)
   }
 
+  test("streaming WARC ingest: crawl files -> record explode -> atomic snapshot per batch, incremental resume") {
+    import graft.table.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft-wstream")
+    val crawl = base.resolve("crawl")
+    java.nio.file.Files.createDirectories(crawl)
+    val loc = "file:" + base.resolve("table")
+    def warc(id: Long, gz: Boolean) = CorpusGen.renderWarc(id,
+      CorpusGen.renderHtml(s"Doc $id", "", Nil, s"crawled body $id"),
+      s"note $id", gzipMembers = gz)
+    java.nio.file.Files.write(crawl.resolve("a.warc"), warc(1, gz = false))
+
+    val q = StreamingIngest.extractionQueryToTable(spark,
+      graft.sources.Sources.streamWarcs(spark, crawl.toString).toDF(),
+      loc, s"$base/ckpt")
+    q.awaitTermination(120000)
+    val uris1 = SnapshotTable.read(spark, loc, "meta")
+      .select("file_name").collect().map(_.getString(0)).toSet
+    assert(uris1.contains("http://graft.test/doc1/page.html"))
+    assert(uris1.contains("http://graft.test/doc1/notes.txt"))
+    assert(!uris1.exists(_.contains("missing.txt"))) // 404 never ingested
+    val nSnaps1 = SnapshotTable.snapshots(spark, loc).size
+
+    // a new crawl file lands; the checkpoint resumes at it — batch 0 is
+    // not reprocessed, the new records commit as their own snapshot
+    java.nio.file.Files.write(crawl.resolve("b.warc.gz"), warc(2, gz = true))
+    val q2 = StreamingIngest.extractionQueryToTable(spark,
+      graft.sources.Sources.streamWarcs(spark, crawl.toString).toDF(),
+      loc, s"$base/ckpt")
+    q2.awaitTermination(120000)
+    val meta = SnapshotTable.read(spark, loc, "meta")
+    assert(meta.filter(col("file_name") === "http://graft.test/doc1/page.html")
+      .count() == 1) // no duplicate from a resume
+    assert(meta.filter(col("file_name") === "http://graft.test/doc2/page.html")
+      .count() == 1)
+    assert(SnapshotTable.snapshots(spark, loc).size > nSnaps1)
+    // the html payload really went through extraction
+    assert(SnapshotTable.read(spark, loc, "spans")
+      .filter(col("text").contains("crawled body 2")).count() >= 1)
+  }
+
   test("stateful threading: out-of-order parents resolve across micro-batches") {
     import spark.implicits._
     // Spark 4 moved MemoryStream under execution.streaming.runtime

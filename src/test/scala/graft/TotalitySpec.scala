@@ -46,7 +46,7 @@ class TotalitySpec extends AnyFunSuite {
       TarExtractor, EmlExtractor, MboxExtractor, EmlxExtractor,
       VCardExtractor, CalendarExtractor, PdfExtractor, OoxmlExtractor,
       XlsxExtractor, OdsExtractor, OpenDocExtractor, SvgExtractor,
-      ImageExtractor)
+      ImageExtractor, WarcExtractor)
     check("extractors", Prop.forAll(bytesGen) { bytes =>
       extractors.forall(e => isTotal(e.extract(RawDoc("t", "f.bin", "", bytes))))
     }, n = 100)
@@ -88,7 +88,12 @@ class TotalitySpec extends AnyFunSuite {
           Seq(Seq("alpha", "beta"), Seq("gamma", "delta"))),
         graft.extract.Pst.write("Inbox",
           Seq(("subj", "a@x.y", "pst body text"))),
-        graft.corpus.CorpusGen.renderRar(Seq(("a.txt", "rar member".getBytes))))
+        graft.corpus.CorpusGen.renderRar(Seq(("a.txt", "rar member".getBytes))),
+        // round-4: WARC, plain and member-per-record gzip
+        g.renderWarc(9, g.renderHtml("T", "S", Nil, "warc body"), "note",
+          gzipMembers = false),
+        g.renderWarc(9, g.renderHtml("T", "S", Nil, "warc body"), "note",
+          gzipMembers = true))
     }
     val mutGen = for {
       doc <- Gen.oneOf(seedDocs)
