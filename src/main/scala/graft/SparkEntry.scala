@@ -724,6 +724,44 @@ object SparkEntry {
         .select(col("doc_id"), col("url"), col("canon_url"), col("n_dups"))
         .orderBy("canon_url")
     }),
+    // BM25 top-20 retrieval (Robertson idf, k1=1.2 b=0.75) for a fixed
+    // 3-term query; float-safe round+rank output (score_milli floor,
+    // doc-id tiebreak) — both engines evaluate the identical double
+    // formula
+    "t_bm25" -> ((s, dir) => {
+      TextOps.bm25TopK(s,
+        QueryLib.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", Seq("scan", "merge", "query"), 20)
+        .orderBy("rank")
+    }),
+    // crawl-graph edge emitter: DOM-walk each page's <a href>s, resolve
+    // against the page URL (absolute / relative / ../ / root-relative /
+    // protocol-relative; fragment+javascript+mailto decoys dropped),
+    // canonicalize. Oracle = HAND-WRITTEN expected edges (independent
+    // derivation, nothing mirrored)
+    "t_outlinks" -> ((s, dir) => {
+      import s.implicits._
+      val pages = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val html =
+            s"""<html><body>
+               |<a href="http://Other.example.com/abs$id?utm_source=f&amp;b=2">absolute</a>
+               |<a href="sub/page$id.html">relative</a>
+               |<a href="../up$id.html">updir</a>
+               |<a href="/root$id.html">rootrel</a>
+               |<a href="//cdn.example.net/x$id">protorel</a>
+               |<a href="#frag">skip</a>
+               |<a href="javascript:void(0)">skip</a>
+               |<a href="mailto:a@b.c">skip</a>
+               |</body></html>""".stripMargin
+          (id, html, s"https://WWW.Example.com/dir/deep/page$id.html")
+        }.toDF("doc_id", "html", "page_url")
+      graft.ops.UrlOps.outlinks(s, pages, "doc_id", "html", "page_url")
+        .select(col("doc_id"),
+          graft.ops.UrlOps.canonicalizeUrl(col("dst")).as("dst"))
+        .orderBy("doc_id", "dst")
+    }),
     // per-source quota: top-10 docs per source by size (window top-N)
     "t_domain_cap" -> ((s, dir) => {
       TextOps.capPerSource(QueryLib.documents(s, dir)
@@ -1596,6 +1634,45 @@ object SparkEntry {
         |       CAST(w.n_dups AS BIGINT) AS n_dups
         |FROM c JOIN w ON c.canon_url = w.canon_url AND c.id = w.id
         |ORDER BY c.canon_url""".stripMargin,
+    "t_bm25" ->
+      """WITH toks AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |         unnest(list_filter(string_split_regex(text, '\s+'),
+        |           x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |tf AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY id, tok),
+        |dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY id),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |q AS (SELECT unnest(['scan', 'merge', 'query']) AS tok),
+        |scored AS (
+        |  SELECT tf.id,
+        |         sum(CAST(floor(
+        |           ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+        |             * tf.tf * 2.2
+        |             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+        |           * 1000000) AS BIGINT)) AS smicro
+        |  FROM tf JOIN q USING (tok) JOIN dfreq USING (tok)
+        |       JOIN dl ON tf.id = dl.id, stats
+        |  GROUP BY tf.id)
+        |SELECT CAST(row_number() OVER (ORDER BY smicro DESC, id) AS BIGINT)
+        |         AS rank,
+        |       id AS doc_id,
+        |       CAST(floor(smicro / 1000.0) AS BIGINT) AS score_milli
+        |FROM scored ORDER BY smicro DESC, id LIMIT 20""".stripMargin,
+    "t_outlinks" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |e AS (
+        |  SELECT id, 'http://other.example.com/abs' || id || '?b=2' AS dst
+        |  FROM ids
+        |  UNION ALL SELECT id, 'https://cdn.example.net/x' || id FROM ids
+        |  UNION ALL SELECT id,
+        |    'https://example.com/dir/deep/sub/page' || id || '.html' FROM ids
+        |  UNION ALL SELECT id,
+        |    'https://example.com/dir/up' || id || '.html' FROM ids
+        |  UNION ALL SELECT id,
+        |    'https://example.com/root' || id || '.html' FROM ids)
+        |SELECT id AS doc_id, dst FROM e ORDER BY doc_id, dst""".stripMargin,
     "t_domain_cap" ->
       """SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
         |  SELECT doc_id, source,

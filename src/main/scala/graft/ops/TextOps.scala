@@ -180,6 +180,55 @@ object TextOps {
       .toDF(idCol, "clean_text", "n_tokens", "n_removed")
   }
 
+  /** BM25 top-k retrieval over the corpus (Robertson/Lucene form:
+    * idf = ln((N - df + 0.5)/(df + 0.5) + 1)), the ranked-retrieval
+    * primitive of data-curation loops (benchmark-similarity retrieval,
+    * quality-by-example). Output is the repo's float-safe rank
+    * convention: (rank, id, score_milli) with deterministic doc-id
+    * tiebreak.
+    *
+    * Scale shape: one token explode → per-(doc,term) counts with
+    * map-side combine; df and the corpus stats are small aggregates; the
+    * query-term join broadcasts (a query has a handful of terms), so the
+    * only large exchange carries (token, id, counts). At 100 TB the
+    * token would be an 8-byte hash; the literal string keys both engines
+    * identically for the oracle. */
+  def bm25TopK(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+               idCol: String, textCol: String, query: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val docs = df.select(col(idCol).cast("long").as("id"), col(textCol))
+    val toks = docs
+      .select(col("id"), explode(tokenize(col(textCol))).as("tok"))
+    val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val qterms = query.toDF("tok")
+    val scored = tf
+      .join(org.apache.spark.sql.functions.broadcast(qterms), "tok")
+      .join(dfreq, "tok")
+      .join(dl, "id")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(stats))
+      .withColumn("idf", log((col("n") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib", col("idf") * col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      // floor each term's contribution to integer micros BEFORE summing:
+      // float addition is order-dependent and the two engines (and even
+      // two Spark runs) gather a doc's terms in different orders — an
+      // integer sum is associative, so rank and score are exact
+      .withColumn("cmicro", floor(col("contrib") * 1e6).cast("long"))
+      .groupBy("id").agg(sum(col("cmicro")).as("smicro"))
+    scored
+      .orderBy(col("smicro").desc, col("id"))
+      .limit(k)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("smicro").desc, col("id"))).cast("long").as("rank"),
+        col("id").as(idCol),
+        floor(col("smicro") / 1000.0).cast("long").as("score_milli"))
+  }
+
   /** Deterministic keep-predicate for hash sampling: md5 of (id ++ salt),
     * first 6 hex digits compared against the rate's hex threshold. Engine-
     * portable (any SQL engine with md5 reproduces it exactly), partition-

@@ -83,6 +83,68 @@ object UrlOps {
       .otherwise(lastTwo)
   }
 
+  /** Resolve an `<a href>` against its page URL — the minimal RFC 3986
+    * subset a crawl-graph emitter needs: absolute http(s) kept,
+    * protocol-relative (`//host/x`) takes the page scheme, root-relative
+    * joins the page host, plain relative joins the page directory with
+    * `./`/`../` segment collapse. Fragment-only and non-navigational
+    * schemes (javascript/mailto/data/tel) yield None. */
+  def resolveHref(pageUrl: String, href0: String): Option[String] = {
+    val href = if (href0 == null) "" else href0.trim
+    if (href.isEmpty) return None
+    val lower = href.toLowerCase
+    if (lower.startsWith("#") || lower.startsWith("javascript:") ||
+        lower.startsWith("mailto:") || lower.startsWith("data:") ||
+        lower.startsWith("tel:")) return None
+    if (lower.startsWith("http://") || lower.startsWith("https://"))
+      return Some(href)
+    val m = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*).*$".r
+    pageUrl match {
+      case m(scheme, host, path) =>
+        if (href.startsWith("//")) Some(scheme.toLowerCase + ":" + href)
+        else {
+          val joined =
+            if (href.startsWith("/")) href
+            else path.substring(0, path.lastIndexOf('/') + 1) + href
+          Some(s"${scheme.toLowerCase}://$host${collapseDots(joined)}")
+        }
+      case _ => None
+    }
+  }
+
+  /** `/a/./b/../c` → `/a/c`; never escapes above the root. */
+  private def collapseDots(path: String): String = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (seg <- path.split('/')) seg match {
+      case "" | "." => // skip
+      case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+      case s => out += s
+    }
+    "/" + out.mkString("/") + (if (path.endsWith("/") && out.nonEmpty) "/" else "")
+  }
+
+  /** Crawl-graph edge emitter: parse each page's HTML (the from-scratch
+    * DOM walker), resolve every `<a href>` against the page URL, emit
+    * distinct (id, dst) edges. Narrow flatMap — the DOM never leaves the
+    * task; downstream canonicalization ([[canonicalizeUrl]]) and a
+    * groupBy on the 8-byte canon hash are all a PageRank/frontier build
+    * needs. */
+  def outlinks(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+               idCol: String, htmlCol: String, urlCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(htmlCol), col(urlCol))
+      .as[(Long, String, String)]
+      .flatMap { case (id, html, url) =>
+        graft.extract.HtmlDom.findAll(
+            graft.extract.HtmlDom.parse(if (html == null) "" else html), "a")
+          .flatMap(_.attrs.get("href"))
+          .flatMap(h => resolveHref(url, h))
+          .toVector.distinct
+          .map(dst => (id, dst))
+      }
+      .toDF(idCol, "dst")
+  }
+
   /** Per-canonical-URL first-seen dedup: keeps the minimum `orderCol` row
     * per canonical URL and counts the collapsed duplicates — the crawl
     * frontier's "have I fetched this" collapse as a batch op. Exchange

@@ -581,6 +581,23 @@ class OpsSpec extends AnyFunSuite {
       (if (rows(1L).duration_ms % 60000 > 0) 1 else 0))
   }
 
+  test("resolveHref: absolute kept, relative joined, dots collapsed, decoys dropped") {
+    import graft.ops.UrlOps.resolveHref
+    val page = "https://Host.example.com/a/b/page.html?q=1"
+    assert(resolveHref(page, "http://x.y/z") == Some("http://x.y/z"))
+    assert(resolveHref(page, "c.html") == Some("https://Host.example.com/a/b/c.html"))
+    assert(resolveHref(page, "../c.html") == Some("https://Host.example.com/a/c.html"))
+    assert(resolveHref(page, "../../../c.html") == Some("https://Host.example.com/c.html"))
+    assert(resolveHref(page, "./d/") == Some("https://Host.example.com/a/b/d/"))
+    assert(resolveHref(page, "/e") == Some("https://Host.example.com/e"))
+    assert(resolveHref(page, "//cdn.z/w") == Some("https://cdn.z/w"))
+    assert(resolveHref(page, "#sec") == None)
+    assert(resolveHref(page, "javascript:void(0)") == None)
+    assert(resolveHref(page, "mailto:a@b") == None)
+    assert(resolveHref(page, "") == None)
+    assert(resolveHref("not-a-url", "x.html") == None)
+  }
+
   test("strip-dup-substrings: shared 20-gram runs cut, unique text survives verbatim") {
     val shared = (0 until 30).map(i => s"dup$i").mkString(" ")
     val df = Seq(
