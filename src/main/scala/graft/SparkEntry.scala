@@ -724,6 +724,21 @@ object SparkEntry {
         .select(col("doc_id"), col("url"), col("canon_url"), col("n_dups"))
         .orderBy("canon_url")
     }),
+    // fixed-iteration PageRank (10 rounds, damping 0.85) over a
+    // deterministic crawl-graph shape (ring + doubling + hub edges per
+    // doc id) in integer micro-units — floor'd at every step, so the
+    // DuckDB recursive-CTE oracle reproduces the rank vector EXACTLY
+    "t_pagerank" -> ((s, dir) => {
+      val ids = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long").as("i"))
+      val n = ids.count()
+      val edges = ids.select(col("i").as("src"), ((col("i") + 1) % n).as("dst"))
+        .union(ids.select(col("i"), (col("i") * 2) % n))
+        .union(ids.select(col("i"), lit(0L)))
+      graft.ops.Graph.pageRank(s, edges, iterations = 10)
+        .select(col("id").as("doc_id"), col("r").as("rank_micro"))
+        .orderBy("doc_id")
+    }),
     // BM25 top-20 retrieval (Robertson idf, k1=1.2 b=0.75) for a fixed
     // 3-term query; float-safe round+rank output (score_milli floor,
     // doc-id tiebreak) — both engines evaluate the identical double
@@ -1634,6 +1649,44 @@ object SparkEntry {
         |       CAST(w.n_dups AS BIGINT) AS n_dups
         |FROM c JOIN w ON c.canon_url = w.canon_url AND c.id = w.id
         |ORDER BY c.canon_url""".stripMargin,
+    // 10 unrolled iteration CTEs rather than WITH RECURSIVE: DuckDB
+    // (1.x) mis-evaluates a correlated aggregate over a second CTE
+    // inside a recursive term (verified against an independent integer
+    // reference implementation — the recursive form attributes wrong
+    // out-degrees); the unrolled plain-join form matches it exactly
+    "t_pagerank" -> {
+      val pre =
+        """WITH
+          |ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+          |nn AS (SELECT count(*) AS n FROM ids),
+          |edges AS (
+          |  SELECT i AS src, (i + 1) % n AS dst FROM ids, nn
+          |  UNION SELECT i, (2 * i) % n FROM ids, nn
+          |  UNION SELECT i, 0 FROM ids, nn),
+          |ew AS (
+          |  SELECT e.src, e.dst, o.d
+          |  FROM edges e JOIN (SELECT src, count(*) AS d FROM edges
+          |                     GROUP BY src) o ON o.src = e.src),
+          |bb AS (SELECT CAST(floor(15 * 1000000.0 / (100 * n)) AS BIGINT)
+          |         AS base FROM nn),
+          |r0 AS (SELECT i AS id, CAST(floor(1000000.0 / n) AS BIGINT) AS r
+          |       FROM ids, nn)""".stripMargin
+      val steps = (1 to 10).map { k =>
+        s""",
+           |r$k AS (
+           |  SELECT n2.i AS id,
+           |         bb.base + CAST(floor(85 * coalesce(agg.s, 0) / 100.0)
+           |           AS BIGINT) AS r
+           |  FROM ids n2 CROSS JOIN bb
+           |  LEFT JOIN (
+           |    SELECT ew.dst AS di,
+           |           sum(CAST(floor(p.r * 1.0 / ew.d) AS BIGINT)) AS s
+           |    FROM ew JOIN r${k - 1} p ON p.id = ew.src
+           |    GROUP BY ew.dst) agg ON agg.di = n2.i)""".stripMargin
+      }.mkString
+      pre + steps +
+        "\nSELECT id AS doc_id, r AS rank_micro FROM r10 ORDER BY doc_id"
+    },
     "t_bm25" ->
       """WITH toks AS (
         |  SELECT CAST(doc_id AS BIGINT) AS id,

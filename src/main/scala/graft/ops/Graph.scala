@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over crawl-shaped edge lists (the natural consumers
+  * of [[UrlOps.outlinks]] edges). Connected components lives in
+  * [[Dedup.connectedComponents]]; this adds fixed-iteration PageRank.
+  *
+  * Determinism contract: every step is floor'd INTEGER arithmetic in
+  * micro-units — float addition is order-dependent, and over 10
+  * iterations the noise compounds, so ranks are quantized at every
+  * step. Two engines (or two partitionings of the same job) therefore
+  * produce bit-identical rank vectors, which is what makes a DuckDB
+  * oracle possible at all.
+  *
+  * Scale shape per iteration: ranks ⨝ out-degrees is an 8-byte-key
+  * join, contributions explode along edges narrowly, the only big
+  * exchange is the groupBy(dst) over (8-byte dst, 8-byte partial sum)
+  * with map-side combine, and the rank vector re-attaches to the node
+  * set with a left join (AQE picks broadcast when the contribution sums
+  * are sparse). Lineage is cut every few iterations exactly like the
+  * connected-components loop. */
+object Graph {
+
+  /** Fixed-iteration PageRank. `edges` needs (src, dst) columns
+    * (any numeric type, cast to long); parallel edges collapse first.
+    * Returns (id, r) with r in micro-units (scale = 1e6): r ≈
+    * pagerank · 1e6, so Σr ≈ 1e6 minus truncation mass. Nodes without
+    * out-edges contribute nothing (their mass evaporates, the classic
+    * non-normalized formulation); nodes without in-edges keep the
+    * teleport base. */
+  def pageRank(spark: SparkSession, edges: DataFrame, iterations: Int = 10,
+               dampingPct: Int = 85, scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val n = nodes.count()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val base = math.floor((100L - dampingPct) * scale.toDouble / (100L * n)).toLong
+    var ranks = nodes.withColumn("r", lit(math.floor(scale.toDouble / n).toLong))
+    var i = 1
+    while (i <= iterations) {
+      // per-edge contribution floor(r/d); floor of a long/long double
+      // division is exact below 2^53
+      val contribs = ranks
+        .join(outdeg, ranks("id") === outdeg("src"))
+        .select(col("src"), floor(col("r") * lit(1.0) / col("d"))
+          .cast("long").as("c"))
+        .join(e, "src")
+        .select(col("dst"), col("c"))
+      val sums = contribs.groupBy("dst").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(sums, nodes("id") === sums("dst"), "left")
+        .select(col("id"),
+          (lit(base) + floor(lit(dampingPct.toLong) * coalesce(col("s"), lit(0L))
+            / lit(100.0)).cast("long")).as("r"))
+      // cut the growing plan the same way connectedComponents does
+      if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint()
+      i += 1
+    }
+    e.unpersist()
+    nodes.unpersist()
+    ranks
+  }
+}

@@ -581,6 +581,25 @@ class OpsSpec extends AnyFunSuite {
       (if (rows(1L).duration_ms % 60000 > 0) 1 else 0))
   }
 
+  test("pageRank: integer-micro ranks match an independent reference on a 6-node graph") {
+    // ring + doubling + hub edges over ids 0..5; expected vector computed
+    // by a standalone (non-Spark, non-SQL) integer implementation of the
+    // same recurrence
+    val n = 6L
+    val edges = (0L until n).flatMap(i =>
+      Seq((i, (i + 1) % n), (i, (2 * i) % n), (i, 0L))).toDF("src", "dst")
+    val got = graft.ops.Graph.pageRank(spark, edges, iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(0L -> 412815L, 1L -> 200447L, 2L -> 143788L,
+      3L -> 65738L, 4L -> 118579L, 5L -> 58600L)
+    assert(got == expected, got)
+    // hub (0) dominates; determinism across re-runs
+    assert(got(0L) == got.values.max)
+    val again = graft.ops.Graph.pageRank(spark, edges.repartition(7), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == expected) // partitioning-independent (integer math)
+  }
+
   test("resolveHref: absolute kept, relative joined, dots collapsed, decoys dropped") {
     import graft.ops.UrlOps.resolveHref
     val page = "https://Host.example.com/a/b/page.html?q=1"
