@@ -208,7 +208,7 @@ object Bench {
         "t_strip_dupsub", "t_outlinks", "t_bm25", "t_pagerank",
         "i_spans_strip", "i_spans_render",
         "s_ann_brute", "s_ann_lsh", "s_ann_ivf", "s_ann_ivfpq", "a_patterns",
-        "a_thread_join")
+        "a_thread_join", "m_events_window")
     val benchQueries = sys.env.get("SPARK_GRAFT_QUERIES") match {
       case Some(qs) =>
         val wanted = qs.split(',').map(_.trim).filter(_.nonEmpty)

@@ -724,6 +724,17 @@ object SparkEntry {
         .select(col("doc_id"), col("url"), col("canon_url"), col("n_dups"))
         .orderBy("canon_url")
     }),
+    // tumbling-window event metrics over the events table — the BATCH
+    // shape of the streaming watermarked aggregation (same shared
+    // function), value summed in integer cents so both engines agree
+    "m_events_window" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.streaming.StreamingIngest.windowedMetrics(ev, window_ = "1 hour")
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("event_type"), col("n"), col("value_cents"))
+        .orderBy("window_start", "event_type")
+    }),
     // fixed-iteration PageRank (10 rounds, damping 0.85) over a
     // deterministic crawl-graph shape (ring + doubling + hub edges per
     // doc id) in integer micro-units — floor'd at every step, so the
@@ -1649,6 +1660,15 @@ object SparkEntry {
         |       CAST(w.n_dups AS BIGINT) AS n_dups
         |FROM c JOIN w ON c.canon_url = w.canon_url AND c.id = w.id
         |ORDER BY c.canon_url""".stripMargin,
+    "m_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |         AS window_start,
+        |       event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // 10 unrolled iteration CTEs rather than WITH RECURSIVE: DuckDB
     // (1.x) mis-evaluates a correlated aggregate over a second CTE
     // inside a recursive term (verified against an independent integer

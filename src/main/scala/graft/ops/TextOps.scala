@@ -139,8 +139,29 @@ object TextOps {
       .flatMap { case (id, t) =>
         val toks = graft.core.TextUtil.tokens(if (t == null) "" else t)
         if (toks.length < n) Iterator.empty
-        else toks.sliding(n).zipWithIndex.map { case (g, s) =>
-          (id, s, graft.core.TextUtil.fnv64(g.mkString(" ")))
+        else {
+          // polynomial rolling hash over per-token hashes: O(tokens)
+          // instead of materializing a 20-token string per position
+          // (O(tokens × n) char churn); wrapping Long arithmetic is
+          // deterministic everywhere
+          val B = 0x100000001b3L
+          var bPow = 1L // B^(n-1)
+          var j = 1
+          while (j < n) { bPow *= B; j += 1 }
+          val th = new Array[Long](toks.length)
+          var i = 0
+          while (i < toks.length) {
+            th(i) = graft.core.TextUtil.fnv64(toks(i)); i += 1
+          }
+          var h = 0L
+          i = 0
+          while (i < n) { h = h * B + th(i); i += 1 }
+          val first = (id, 0, h)
+          val rest = (1 to toks.length - n).iterator.map { s =>
+            h = (h - th(s - 1) * bPow) * B + th(s + n - 1)
+            (id, s, h)
+          }
+          Iterator(first) ++ rest
         }
       }
       .toDF("id", "s", "h")

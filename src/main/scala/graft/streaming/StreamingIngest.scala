@@ -193,7 +193,12 @@ object StreamingIngest {
     events
       .withColumn("ts", col("ts").cast("timestamp")) // NTZ → event-time type
       .withWatermark("ts", watermark)
+      // integer cents BEFORE the sum: double addition is order-dependent
+      // across partitions/engines, an integer sum is exact — this is
+      // what lets the batch shape of this aggregation be DuckDB-oracled
+      // (m_events_window)
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
       .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("value_cents"))
   }
 }

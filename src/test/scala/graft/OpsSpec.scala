@@ -598,6 +598,11 @@ class OpsSpec extends AnyFunSuite {
     val again = graft.ops.Graph.pageRank(spark, edges.repartition(7), 10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == expected) // partitioning-independent (integer math)
+    // the distributed iterative path (maxLocalEdges=0 forces it) must be
+    // bit-equal to the driver fast path — same integer recurrence
+    val dist = graft.ops.Graph.pageRank(spark, edges, 10, maxLocalEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
   }
 
   test("resolveHref: absolute kept, relative joined, dots collapsed, decoys dropped") {
