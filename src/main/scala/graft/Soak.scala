@@ -116,11 +116,70 @@ object Soak {
         maxBucket = 256, verify = "sig8", pairing = "star").count()
     }
 
+    // 4. interleaved-spans boilerplate strip over the committed snapshots
+    // — the north rule's (doc_id, spans[]) shape CONSUMED at soak scale:
+    // re-nest the span table per doc (the read-back reassembly shape) and
+    // strip cross-document text spans by corpus frequency.
+    val stripCount = phase("spans_strip") {
+      val spans = graft.table.SnapshotTable.read(spark, snapDir, "spans")
+      val nested = spans
+        .groupBy($"doc_id")
+        .agg(array_sort(collect_list(struct($"seq", $"kind", $"text",
+          $"media_ref", $"offset"))).as("sp"))
+        .select($"doc_id", transform($"sp", s => struct(
+          s.getField("kind").as("kind"),
+          s.getField("text").as("text"),
+          s.getField("media_ref").as("media_ref"),
+          s.getField("offset").as("offset"))).as("spans"))
+      graft.ops.SpanOps.stripBoilerplate(spark, nested, minDocs = 5).count()
+    }
+
+    // 5. Lee-et-al duplicated-substring removal on a deterministic
+    // quarter of the distinct bodies (bounded: the gram-position explode
+    // is O(total tokens) rows and this host's disk, not the operator,
+    // is the constraint at the full 4.4M-body set).
+    val dupsubCount = phase("strip_dupsub") {
+      val spans = graft.table.SnapshotTable.read(spark, snapDir, "spans")
+      val bodies = spans.filter($"kind" === "text")
+        .groupBy($"doc_id")
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct($"seq", $"text"))),
+          s => s.getField("text"))).as("body"))
+        .select(xxhash64($"doc_id").as("id"), $"body")
+        .filter(pmod($"id", lit(4)) === 0)
+      // the corpus's natural cross-doc duplicate bodies are short (<20
+      // tokens — archive members), so plant half-copies the way the
+      // oracle corpus does: the removal path must actually fire at scale
+      import spark.implicits._
+      val halves = bodies.as[(Long, String)].map { case (id, b) =>
+        val toks = graft.core.TextUtil.tokens(b)
+        (id + 1L, toks.take(math.max(toks.length / 2, 21)).mkString(" "))
+      }.toDF("id", "body")
+      graft.ops.TextOps.stripDupSubstrings(spark,
+          bodies.unionByName(halves), "id", "body")
+        .filter($"n_removed" > 0).count()
+    }
+
+    // 6. the ITERATIVE PageRank path (the fast path is for toy graphs)
+    // over a crawl-shaped 3-edges-per-doc graph on the full meta id set —
+    // 10 rounds of 8-byte-key join + groupBy exchanges.
+    val prTop = phase("pagerank_iterative") {
+      val ids = graft.table.SnapshotTable.read(spark, snapDir, "meta")
+        .select(xxhash64($"doc_id").as("h"))
+        .select(pmod($"h", lit(nDocs)).as("i")).distinct()
+      val edges = ids.select($"i".as("src"), ((($"i" + 1) % nDocs)).as("dst"))
+        .union(ids.select($"i", ($"i" * 7) % nDocs))
+        .union(ids.select($"i", lit(0L)))
+      graft.ops.Graph.pageRank(spark, edges, iterations = 10,
+          maxLocalEdges = 0L, scale = nDocs * 1000000L)
+        .orderBy(col("r").desc).limit(1).collect()(0).getLong(1)
+    }
+
     val total = phases.values.sum
     val pipeSec = phases("pipeline_durable")
     val qs = phases.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"soak_total","value":$total%.3f,"unit":"sec","phases":$qs,"n_docs":$nDocs,"meta_rows":$metaCount,"dedup_rows":$dedupCount,"distinct_bodies":$distinctBodies,"neardup_pairs":$pairCount,"docs_per_sec":${metaCount / math.max(pipeSec, 1e-9)}%.1f,"pending_partitions":$parts,"shuffle_partitions":${math.max(cpus.toInt * 2, 256)},"peak_heap_mib":${peakHeap / (1 << 20)},"cpus":$cpus}""")
+    println(f"""{"metric":"soak_total","value":$total%.3f,"unit":"sec","phases":$qs,"n_docs":$nDocs,"meta_rows":$metaCount,"dedup_rows":$dedupCount,"distinct_bodies":$distinctBodies,"neardup_pairs":$pairCount,"spans_kept":$stripCount,"dupsub_docs_touched":$dupsubCount,"pagerank_top_micro":$prTop,"docs_per_sec":${metaCount / math.max(pipeSec, 1e-9)}%.1f,"pending_partitions":$parts,"shuffle_partitions":${math.max(cpus.toInt * 2, 256)},"peak_heap_mib":${peakHeap / (1 << 20)},"cpus":$cpus}""")
     spark.stop()
   }
 }

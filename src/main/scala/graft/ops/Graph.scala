@@ -25,11 +25,18 @@ object Graph {
 
   /** Fixed-iteration PageRank. `edges` needs (src, dst) columns
     * (any numeric type, cast to long); parallel edges collapse first.
-    * Returns (id, r) with r in micro-units (scale = 1e6): r ≈
-    * pagerank · 1e6, so Σr ≈ 1e6 minus truncation mass. Nodes without
-    * out-edges contribute nothing (their mass evaporates, the classic
-    * non-normalized formulation); nodes without in-edges keep the
-    * teleport base. */
+    * Returns (id, r) with r in micro-units of total mass `scale`: r ≈
+    * pagerank · scale, so Σr ≈ scale minus truncation mass. Nodes
+    * without out-edges contribute nothing (their mass evaporates, the
+    * classic non-normalized formulation); nodes without in-edges keep
+    * the teleport base.
+    *
+    * `scale` is the quantization grain and MUST grow with the node
+    * count: per-node resolution is scale/N units, and below ~100
+    * units/node truncation eats the rank signal (at scale/N < 1 every
+    * rank collapses to the teleport floor — observed at 400k nodes on
+    * the default). Pass `scale = n * 1000000L` for large graphs; a
+    * warning prints when the grain is too coarse. */
   def pageRank(spark: SparkSession, edges: DataFrame, iterations: Int = 10,
                dampingPct: Int = 85, scale: Long = 1000000L,
                maxLocalEdges: Long = 2000000L): DataFrame = {
@@ -71,6 +78,10 @@ object Graph {
       .union(e.select(col("dst").as("id"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val n = nodes.count()
+    if (scale / math.max(n, 1L) < 100L)
+      System.err.println(s"[graft] pageRank: only ${scale / math.max(n, 1L)} " +
+        s"micro-units per node ($n nodes, scale=$scale) — truncation will " +
+        "flatten ranks; pass scale >= 100 * nodeCount")
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("d"))
     val base = math.floor((100L - dampingPct) * scale.toDouble / (100L * n)).toLong
     var ranks = nodes.withColumn("r", lit(math.floor(scale.toDouble / n).toLong))

@@ -137,6 +137,20 @@ class PlanSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("bm25: query terms broadcast, token-count exchange has partial agg below it") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    val df = graft.ops.TextOps.bm25TopK(spark,
+      spark.read.parquet(s"$sfDir/documents.parquet"),
+      "doc_id", "text", Seq("scan", "merge"), 10)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    val lines = plan.linesIterator.toVector
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exchangeIdx >= 0 &&
+      lines.drop(exchangeIdx).exists(_.contains("HashAggregate")),
+      "no partial aggregate below the token-count exchange")
+  }
+
   test("x_* renderPending stays a single narrow stage over the scan (no shuffle before extraction)") {
     assume(new java.io.File(s"$sfDir/documents.parquet").exists)
     import spark.implicits._
