@@ -750,6 +750,13 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("r").as("rank_micro"))
         .orderBy("doc_id")
     }),
+    // CCNet-style self-perplexity filter: mean NLL under the corpus's
+    // own add-one bigram LM, floored to integer micros per bigram so
+    // both engines agree exactly
+    "t_lm_score" -> ((s, dir) => {
+      TextOps.lmScore(s, QueryLib.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // BM25 top-20 retrieval (Robertson idf, k1=1.2 b=0.75) for a fixed
     // 3-term query; float-safe round+rank output (score_milli floor,
     // doc-id tiebreak) — both engines evaluate the identical double
@@ -1707,6 +1714,30 @@ object SparkEntry {
       pre + steps +
         "\nSELECT id AS doc_id, r AS rank_micro FROM r10 ORDER BY doc_id"
     },
+    "t_lm_score" ->
+      """WITH tk AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |           x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM tk, unnest(range(1, len(toks))) AS r(i)),
+        |uni AS (
+        |  SELECT w1, count(*) AS u FROM (
+        |    SELECT id, unnest(toks) AS w1 FROM tk) GROUP BY w1),
+        |vv AS (SELECT count(*) AS v FROM uni),
+        |big AS (SELECT w1, w2, count(*) AS b FROM bg GROUP BY w1, w2),
+        |scored AS (
+        |  SELECT bg.id, count(*) AS n_bigrams,
+        |         sum(CAST(floor(-ln((big.b + 1.0) / (uni.u + vv.v))
+        |           * 1000000) AS BIGINT)) AS smicro
+        |  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1), vv
+        |  GROUP BY bg.id)
+        |SELECT id AS doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |       CAST(floor(smicro / n_bigrams / 1000.0) AS BIGINT)
+        |         AS nll_milli
+        |FROM scored ORDER BY doc_id""".stripMargin,
     "t_bm25" ->
       """WITH toks AS (
         |  SELECT CAST(doc_id AS BIGINT) AS id,

@@ -250,6 +250,46 @@ object TextOps {
         floor(col("smicro") / 1000.0).cast("long").as("score_milli"))
   }
 
+  /** CCNet-style language-model quality score: per-document mean
+    * negative log-likelihood under an add-one-smoothed bigram model
+    * trained on the corpus itself (the self-perplexity filter — docs
+    * whose token transitions are unlike the corpus score high and get
+    * filtered). p(w2|w1) = (B(w1,w2)+1) / (U(w1)+V).
+    *
+    * Determinism: each bigram's -ln p is floored to integer micros
+    * before the per-doc sum (float addition order differs between
+    * engines), so `nll_milli` = floor(mean micro-NLL / 1000) is exact on
+    * both sides. Scale shape: two word-count exchanges (unigram, bigram
+    * — 8-byte hashes at 100 TB, literal strings here for the oracle) and
+    * one join of doc bigrams against the model with map-side combine. */
+  def lmScore(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+              idCol: String, textCol: String): DataFrame = {
+    import spark.implicits._
+    val docs = df.select(col(idCol).cast("long").as("id"), col(textCol))
+    val bigrams = docs.as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val toks = graft.core.TextUtil.tokens(if (t == null) "" else t)
+        (0 until toks.length - 1).iterator.map(i => (id, toks(i), toks(i + 1)))
+      }
+      .toDF("id", "w1", "w2")
+    val uni = docs
+      .select(col("id"), explode(tokenize(col(textCol))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("u"))
+    val vocab = uni.count()
+    val big = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("b"))
+    bigrams
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .withColumn("nllmicro",
+        floor(-log((col("b") + lit(1.0)) / (col("u") + lit(vocab.toDouble)))
+          * 1e6).cast("long"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nllmicro")).as("smicro"))
+      .select(col("id").as(idCol), col("n_bigrams"),
+        floor(col("smicro") / col("n_bigrams") / 1000.0).cast("long")
+          .as("nll_milli"))
+  }
+
   /** Deterministic keep-predicate for hash sampling: md5 of (id ++ salt),
     * first 6 hex digits compared against the rate's hex threshold. Engine-
     * portable (any SQL engine with md5 reproduces it exactly), partition-
