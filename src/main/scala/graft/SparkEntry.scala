@@ -757,6 +757,14 @@ object SparkEntry {
       TextOps.lmScore(s, QueryLib.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // DSIR importance weights: hashed unigram+bigram features, target
+    // distribution = every 10th doc, λ(bucket) floored to integer micros
+    // for engine-exact per-doc sums
+    "t_dsir" -> ((s, dir) => {
+      TextOps.dsirWeights(s, QueryLib.documents(s, dir), "doc_id", "text",
+          col("doc_id") % 10 === 0)
+        .orderBy("doc_id")
+    }),
     // BM25 top-20 retrieval (Robertson idf, k1=1.2 b=0.75) for a fixed
     // 3-term query; float-safe round+rank output (score_milli floor,
     // doc-id tiebreak) — both engines evaluate the identical double
@@ -846,6 +854,14 @@ object SparkEntry {
     "t_vocab" -> ((s, dir) => {
       TextOps.vocab(s, QueryLib.documents(s, dir), "doc_id", "text", 100)
         .orderBy("rank")
+    }),
+    // BPE tokenizer training: first 12 learned merges over the corpus
+    // word-count table (Sennrich et al. 2016). The merge table IS the
+    // output artifact; oracle = 12 unrolled count→argmax→rewrite CTE
+    // steps in DuckDB (same convention as t_pagerank's unrolled rounds).
+    "t_bpe" -> ((s, dir) => {
+      TextOps.bpeMerges(s, QueryLib.documents(s, dir), "text", 12)
+        .orderBy("step")
     }),
     "t_quality" -> ((s, dir) => {
       val cols = TextOps.qualityColumns(col("text"))
@@ -974,6 +990,24 @@ object SparkEntry {
       Dedup.embeddingDups(s, emb.unionByName(scaled).unionByName(perturbed),
           "vec_id", "embedding", 0.999)
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+    }),
+    // SemDeDup (Abbas et al. 2023): k-means clusters bound the pairwise
+    // stage; within-cluster cosine ≥ τ removes all but the min-id
+    // exemplar. Planted ×2 / ×4 exact-direction copies co-cluster with
+    // their originals bit-deterministically (cosine assignment is
+    // scaling-invariant), so removed = exactly the copies: the oracle
+    // pins cluster-routing + exhaustive within-cluster recall (background
+    // max pairwise cosine on this table is 0.60 at every SF).
+    "e_semdedup" -> ((s, dir) => {
+      val emb = QueryLib.embeddings(s, dir)
+        .select(col("vec_id").cast("long"), col("embedding"))
+      val x2 = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * 2.0f).as("embedding"))
+      val x4 = emb.select((col("vec_id") + 2000000L).as("vec_id"),
+        transform(col("embedding"), x => x * 4.0f).as("embedding"))
+      Similarity.semDedup(s, emb.unionByName(x2).unionByName(x4),
+          "vec_id", "embedding", 0.999)
+        .orderBy("removed_id")
     }),
 
     // ---- multimodal ---------------------------------------------------
@@ -1714,6 +1748,39 @@ object SparkEntry {
       pre + steps +
         "\nSELECT id AS doc_id, r AS rank_micro FROM r10 ORDER BY doc_id"
     },
+    "t_dsir" ->
+      """WITH tk AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, doc_id % 10 = 0 AS tgt,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |           x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |fu AS (
+        |  SELECT id, tgt, unnest(toks) AS f FROM tk
+        |  UNION ALL
+        |  SELECT id, tgt, toks[i] || ' ' || toks[i+1]
+        |  FROM tk, unnest(range(1, len(toks))) AS r(i)),
+        |fb AS (
+        |  SELECT id, tgt,
+        |         (instr('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 256 +
+        |         (instr('0123456789abcdef', substr(md5(f), 2, 1)) - 1) * 16 +
+        |         (instr('0123456789abcdef', substr(md5(f), 3, 1)) - 1) AS b
+        |  FROM fu),
+        |cnt AS (
+        |  SELECT b, count(*) AS rc,
+        |         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc
+        |  FROM fb GROUP BY b),
+        |tot AS (SELECT sum(rc) AS r, sum(tc) AS t FROM cnt),
+        |lam AS (
+        |  SELECT b, CAST(floor((ln((tc + 1.0) / (t + 4096)) -
+        |           ln((rc + 1.0) / (r + 4096))) * 1000000) AS BIGINT) AS lmicro
+        |  FROM cnt, tot),
+        |db AS (SELECT id, b, count(*) AS n FROM fb GROUP BY id, b),
+        |sc AS (
+        |  SELECT id, sum(n) AS n_feats, sum(n * lmicro) AS smicro
+        |  FROM db JOIN lam USING (b) GROUP BY id)
+        |SELECT id AS doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+        |       CAST(floor(smicro / n_feats / 1000.0) AS BIGINT) AS w_milli
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "t_lm_score" ->
       """WITH tk AS (
         |  SELECT CAST(doc_id AS BIGINT) AS id,
@@ -1908,6 +1975,42 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank,
         |       token, tf, df
         |FROM a ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    "t_bpe" -> {
+      val K = 12
+      val sb = new StringBuilder
+      sb.append(
+        "WITH w0 AS (\n" +
+        "  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' </w>' AS sym, c\n" +
+        "  FROM (\n" +
+        "    SELECT w, count(*) AS c FROM (\n" +
+        "      SELECT lower(unnest(list_filter(string_split_regex(text, '\\s+'),\n" +
+        "        x -> len(x) > 0))) AS w\n" +
+        "      FROM documents)\n" +
+        "    WHERE regexp_matches(w, '^[a-z]+$')\n" +
+        "    GROUP BY w))")
+      for (i <- 1 to K) {
+        val p = i - 1
+        sb.append(s""",
+          |p$i AS (
+          |  SELECT s[j] AS l, s[j+1] AS r, sum(c) AS cnt
+          |  FROM (SELECT string_split(sym, ' ') AS s, c FROM w$p),
+          |       unnest(range(1, len(s))) AS t(j)
+          |  GROUP BY l, r),
+          |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+          |w$i AS (
+          |  SELECT trim(replace(' ' || sym || ' ',
+          |           ' ' || b.l || ' ' || b.r || ' ',
+          |           ' ' || b.l || b.r || ' ')) AS sym, c
+          |  FROM w$p, b$i b)""".stripMargin)
+      }
+      sb.append("\nSELECT * FROM (\n")
+      sb.append((1 to K).map(i =>
+        s"  SELECT CAST($i AS BIGINT) AS step, l AS lsym, r AS rsym," +
+          s" CAST(cnt AS BIGINT) AS pair_count FROM b$i")
+        .mkString("\n  UNION ALL\n"))
+      sb.append("\n) ORDER BY step")
+      sb.toString
+    },
     "t_quality" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -2000,6 +2103,12 @@ object SparkEntry {
       s"SELECT doc_id, CASE doc_id % ${langs.size} $cases END AS detected_lang " +
         "FROM documents ORDER BY doc_id"
     },
+    "e_semdedup" ->
+      """SELECT removed_id FROM (
+        |  SELECT vec_id + 1000000 AS removed_id FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 2000000 FROM embeddings
+        |) ORDER BY removed_id""".stripMargin,
     "e_embed_dups" ->
       """SELECT id_a, id_b FROM (
         |  SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings

@@ -451,4 +451,70 @@ object Similarity {
       .select($"qid", $"cid")
     rescoreTopK(corpus, queries, idCol, vecCol, cands, k)
   }
+
+  // ---- SemDeDup (semantic deduplication) -----------------------------------
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540): prune
+    * semantic near-duplicates by (1) k-means clustering the embeddings so
+    * the quadratic pairwise comparison never crosses cluster boundaries,
+    * then (2) within each cluster removing every point that has a
+    * smaller-id neighbor with cosine ≥ `threshold` (the paper keeps one
+    * exemplar per semantic group; smallest id is the deterministic
+    * stand-in for its "keep the first" rule).
+    *
+    * Scale shape (the reason this beats [[Dedup.embeddingDups]]' hyperplane
+    * banding for *semantic* — lower-cosine — duplicates, where band
+    * collision probability collapses):
+    *
+    *  - coarse centroids train on a bounded `sampleN` driver sample
+    *    (standard k-means-on-sample recipe, same as the IVF quantizer);
+    *  - cluster assignment is one narrow pass under broadcast centroids —
+    *    cosine scoring, so it is scaling-invariant and direction-identical
+    *    vectors always co-cluster;
+    *  - the pairwise stage is an equi-join on the cell id. Each side
+    *    carries its vector exactly once into a cluster-partitioned
+    *    exchange — unavoidable (the cosine needs both vectors) and
+    *    bounded: expected cluster size is n/k, so the per-cluster
+    *    quadratic work is (n/k)² and the planner sizes k to the corpus
+    *    (the paper runs k = n/â for target cluster size â);
+    *  - `maxCluster` caps any single cell before the join (first
+    *    `maxCluster` members by id participate; the row_number guard
+    *    reuses the join's hash-partitioning on `cell`), so one degenerate
+    *    centroid cannot go quadratic at 100 TB — same discipline as the
+    *    LSH `maxBucket` guard.
+    *
+    * Returns the ids of removed (pruned) rows, one column `removed_id`. */
+  def semDedup(spark: SparkSession, df: DataFrame, idCol: String,
+               vecCol: String, threshold: Double, nClusters: Int = 64,
+               sampleN: Int = 2048, iters: Int = 8,
+               maxCluster: Int = 1 << 20,
+               seed: Long = 0x9e3779b97f4a7c15L): DataFrame = {
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val sample = base.select($"v").limit(sampleN).as[Array[Double]].collect()
+    val bC = spark.sparkContext.broadcast(
+      trainCentroids(sample, nClusters, iters, seed))
+    val assigned = base.as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bC.value
+        it.map { case (id, v) => (id, v, nearestCells(v, cs, 1)(0)) }
+      }.toDF("id", "v", "cell")
+    val guarded =
+      if (maxCluster == Int.MaxValue) assigned
+      else {
+        val w = Window.partitionBy($"cell").orderBy($"id")
+        assigned.withColumn("_n", row_number().over(w))
+          .filter($"_n" <= maxCluster).drop("_n")
+      }
+    // per-side column renames, NOT self-join aliases (attribute resolution)
+    val lhs = guarded.toDF("id_a", "va", "cell")
+    val rhs = guarded.toDF("id_b", "vb", "cell")
+    lhs.join(rhs, Seq("cell"))
+      .filter($"id_a" < $"id_b")
+      .filter(cosineCol($"va", $"vb") >= threshold)
+      .select($"id_b".as("removed_id"))
+      .distinct()
+  }
 }

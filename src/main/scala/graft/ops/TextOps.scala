@@ -469,6 +469,140 @@ object TextOps {
       .select(col("rank"), col("token"), col("tf"), col("df"))
   }
 
+  /** BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units"): learn the first
+    * `merges` byte-pair merges from the corpus. Returns the merge table
+    * (step, lsym, rsym, pair_count) — the trained-tokenizer artifact.
+    *
+    * The classic trainer shape: BPE trains over the *distinct word-count
+    * table*, not the corpus — so the only corpus-sized exchange is the
+    * word count (map-side-combined, shuffle volume = distinct words per
+    * map partition). Every merge iteration is then (a) one small
+    * pair-count aggregation over the vocab-bounded table, (b) a 1-row
+    * argmax to the driver (count desc, pair lexicographic — the
+    * deterministic tie-break), (c) one narrow literal-replace rewrite of
+    * the symbol strings. K iterations = K tiny jobs over ~1e6-row vocab
+    * regardless of corpus size; that is exactly how you'd train on 100 TB.
+    *
+    * Determinism notes for the DuckDB oracle: words are lowercased and
+    * restricted to /^[a-z]+$/ so per-character splitting agrees across
+    * engines (no UTF-16 vs codepoint divergence); the pair rewrite is a
+    * single-pass left-to-right literal replace of " l r " inside the
+    * space-padded symbol string — both engines' replace() consumes the
+    * shared boundary space, so an "a a a" run merges leftmost-first
+    * identically (the standard BPE convention). Requires every step to
+    * find ≥1 pair (true for any corpus with multi-char words and small K;
+    * an exhausted vocabulary stops early with fewer rows). */
+  def bpeMerges(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                textCol: String, merges: Int = 12): DataFrame = {
+    import spark.implicits._
+    val words = df
+      .select(explode(tokenize(col(textCol))).as("w"))
+      .select(lower(col("w")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(concat(trim(regexp_replace(col("w"), "(.)", "$1 ")),
+        lit(" </w>")).as("sym"), col("c"))
+      .persist()
+    words.count() // materialize once; iterations replay narrow ops on top
+    var cur = words
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val pairs = cur
+        .select(split(col("sym"), " ").as("s"), col("c"))
+        .filter(size(col("s")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("s")) - 2),
+          i => struct(element_at(col("s"), i + 1).as("l"),
+            element_at(col("s"), i + 2).as("r")))).as("p"), col("c"))
+        .select(col("p.l"), col("p.r"), col("c"))
+        .groupBy("l", "r").agg(sum(col("c")).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((step.toLong, l, r, cnt))
+        // symbols are /[a-z]|<\/w>/-composed: safe inside a SQL literal
+        cur = cur.select(
+          expr(s"trim(replace(concat(' ', sym, ' '), ' $l $r ', ' $l$r '))")
+            .as("sym"), col("c"))
+        step += 1
+      }
+    }
+    words.unpersist()
+    spark.createDataFrame(out.toSeq)
+      .toDF("step", "lsym", "rsym", "pair_count")
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * score every document by how much more likely its hashed-ngram
+    * features are under a target (in-domain) distribution than under the
+    * raw corpus distribution — log w(x) = Σ_f n_f(x)·(ln p̂_target(f) −
+    * ln p̂_raw(f)) with add-one smoothing over `buckets` hashed features
+    * (unigrams + bigrams, the paper's feature set). Selection then keeps
+    * the top-weight documents; this op emits the weights.
+    *
+    * Scale shape: features never materialize as strings past the map
+    * side — each (doc, feature) row carries only the bucket id (12-bit
+    * here; 20+ bits at 100 TB). The two distribution estimates are
+    * B-row aggregates (map-side combined), tiny by construction, so the
+    * per-doc scoring join broadcasts λ(b) and the only corpus-sized
+    * exchange is the per-doc groupBy on (id, bucket).
+    *
+    * Determinism: the bucket hash is the first 3 hex chars of md5(feature)
+    * → 12 bits (engine-portable: both engines agree on md5), and λ(b) is
+    * floored to integer micros before any per-doc summation, so sums are
+    * integer-exact regardless of aggregation order. Output
+    * (doc_id, n_feats, w_milli = floor(Σ n_f·λmicro(f) / n_feats / 1000)).
+    */
+  def dsirWeights(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                  idCol: String, textCol: String, targetPred: Column,
+                  buckets: Int = 4096): DataFrame = {
+    import spark.implicits._
+    require(buckets == 4096, "bucket count is pinned by the 3-hex-char hash")
+    val docs = df.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("t"), targetPred.as("is_target"))
+    val feats = docs.as[(Long, String, Boolean)]
+      .flatMap { case (id, t, tgt) =>
+        val toks = graft.core.TextUtil.tokens(if (t == null) "" else t)
+        val unis = toks.iterator.map(w => (id, tgt, w))
+        val bis = (0 until toks.length - 1).iterator
+          .map(i => (id, tgt, toks(i) + " " + toks(i + 1)))
+        unis ++ bis
+      }
+      .toDF("id", "is_target", "f")
+      // 12-bit bucket from the first 3 hex chars of md5 — portable to any
+      // engine with md5 + instr (no hex-parse builtin needed)
+      .withColumn("b", expr(
+        "((instr('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 256 + " +
+        " (instr('0123456789abcdef', substr(md5(f), 2, 1)) - 1) * 16 + " +
+        " (instr('0123456789abcdef', substr(md5(f), 3, 1)) - 1))"))
+      .select(col("id"), col("is_target"), col("b"))
+    // both distributions in ONE map-side-combined pass (B-row result)
+    val counts = feats.groupBy("b").agg(count(lit(1)).as("rc"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("tc"))
+    val Array(totals, ttotals) = counts
+      .agg(sum(col("rc")), sum(col("tc"))).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val lam = counts
+      .select(col("b"), floor(
+        (log((col("tc") + lit(1.0)) / lit((ttotals + buckets).toDouble)) -
+         log((col("rc") + lit(1.0)) / lit((totals + buckets).toDouble)))
+          * lit(1e6)).cast("long").as("lmicro"))
+    feats.groupBy("id", "b").agg(count(lit(1)).as("n"))
+      .join(broadcast(lam), Seq("b"))
+      .groupBy("id")
+      .agg(sum(col("n")).as("n_feats"),
+        sum(col("n") * col("lmicro")).as("smicro"))
+      .select(col("id").as(idCol), col("n_feats"),
+        floor(col("smicro") / col("n_feats") / 1000.0).cast("long")
+          .as("w_milli"))
+  }
+
   /** Benchmark decontamination (the GPT-3-style 13-gram overlap rule,
     * Brown et al. 2020 Appendix C, public): mark every training document
     * sharing at least one exact n-token gram with the evaluation set.

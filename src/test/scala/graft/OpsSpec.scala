@@ -700,4 +700,88 @@ class OpsSpec extends AnyFunSuite {
     assert(tags.exists { case (p, v) => p == "phoneMentioned" && v.contains("4930") })
     assert(tags.exists { case (p, v) => p == "ibanMentioned" && v.startsWith("DE44") })
   }
+
+  test("semDedup: copies and near-dups pruned within clusters, distinct points kept") {
+    import org.apache.spark.sql.functions.col
+    val dim = 8
+    def vec(dir: Int, wiggle: Double, scale: Double): Array[Float] = {
+      val v = new Array[Float](dim)
+      v(dir) = scale.toFloat
+      v((dir + 1) % dim) = (wiggle * scale).toFloat
+      v
+    }
+    // two well-separated direction clusters; members pairwise cos ≈ 0.95
+    val rows = Seq(
+      0L -> vec(0, 0.15, 1.0), 1L -> vec(0, -0.15, 1.0),
+      2L -> vec(0, 0.0, 1.0),
+      5L -> vec(3, 0.15, 1.0), 6L -> vec(3, -0.15, 1.0),
+      // exact-direction copies (cos = 1): must be removed
+      10L -> vec(0, 0.15, 2.0), 11L -> vec(0, 0.15, 4.0),
+      12L -> vec(3, 0.15, 2.0),
+      // near-dup of id 2 (cos ≈ 0.99997): removed at τ = 0.999
+      13L -> { val v = vec(0, 0.0, 1.0); v(1) = 0.008f; v })
+    val df = rows.toDF("vec_id", "embedding")
+    val removed = Similarity
+      .semDedup(spark, df, "vec_id", "embedding", 0.999, nClusters = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(removed == Set(10L, 11L, 12L, 13L), removed)
+    // maxCluster guard: capping cluster size to 1 means no pairs anywhere
+    val capped = Similarity.semDedup(spark, df, "vec_id", "embedding", 0.999,
+      nClusters = 2, maxCluster = 1).count()
+    assert(capped == 0L)
+    // lower threshold prunes the whole cluster down to its min-id exemplar
+    val aggressive = Similarity
+      .semDedup(spark, df, "vec_id", "embedding", 0.9, nClusters = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(!aggressive.contains(0L) && !aggressive.contains(5L))
+    assert(aggressive.contains(2L) && aggressive.contains(6L))
+  }
+
+  test("bpeMerges: the Sennrich low/lower/newest/widest example, exact merge order") {
+    val docs = Seq(
+      (0L, Array.fill(5)("low").mkString(" ")),
+      (1L, Array.fill(2)("lower").mkString(" ")),
+      (2L, Array.fill(6)("newest").mkString(" ")),
+      (3L, Array.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(spark, docs, "text", 12)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val expected = Seq(
+      (1L, "e", "s", 9L), (2L, "es", "t", 9L), (3L, "est", "</w>", 9L),
+      (4L, "l", "o", 7L), (5L, "lo", "w", 7L), (6L, "e", "w", 6L),
+      (7L, "ew", "est</w>", 6L), (8L, "n", "ewest</w>", 6L),
+      (9L, "low", "</w>", 5L),
+      (10L, "d", "est</w>", 3L), (11L, "i", "dest</w>", 3L),
+      (12L, "w", "idest</w>", 3L))
+    assert(merges.toSeq == expected, merges.mkString("\n"))
+    // exhaustion: a 1-letter-word corpus has no pairs beyond (c, </w>)
+    val tiny = Seq((0L, "a a b")).toDF("doc_id", "text")
+    val m2 = TextOps.bpeMerges(spark, tiny, "text", 10).collect()
+    assert(m2.length == 2) // (a,</w>) then (b,</w>) — then exhausted
+  }
+
+  test("dsirWeights: target-like documents outscore off-domain ones; n_feats exact") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // targets (id % 10 == 0): the in-domain topic
+      (0L, "alpha beta gamma alpha beta"),
+      (10L, "alpha gamma beta gamma"),
+      (20L, "beta alpha gamma alpha"),
+      // non-target doc that LOOKS in-domain: should score high
+      (1L, "alpha beta gamma alpha"),
+      // off-domain docs
+      (2L, "delta epsilon zeta delta epsilon"),
+      (3L, "zeta epsilon delta zeta")).toDF("doc_id", "text")
+    val w = TextOps.dsirWeights(spark, docs, "doc_id", "text",
+        col("doc_id") % 10 === 0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // n_feats = tokens + bigrams
+    assert(w(0L)._1 == 5 + 4)
+    assert(w(3L)._1 == 4 + 3)
+    // in-domain content scores above off-domain regardless of target flag
+    assert(w(1L)._2 > w(2L)._2, w)
+    assert(w(1L)._2 > w(3L)._2)
+    assert(w(0L)._2 > w(2L)._2)
+    // off-domain docs have negative importance weight (rarer under target)
+    assert(w(2L)._2 < 0 && w(3L)._2 < 0)
+  }
 }
