@@ -817,6 +817,26 @@ object SparkEntry {
       TextOps.filterGopher(s, QueryLib.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // End-to-end corpus curation recipe (quality gate -> exact dedup ->
+    // benchmark decontamination -> per-source cap -> stratified mixing),
+    // composed from the individually-oracled stages; the oracle replays
+    // the full five-stage SQL so the COMPOSITION (stage order, verdict
+    // semi-join semantics) is pinned, not just each stage.
+    "t_curate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = QueryLib.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val toks = graft.core.TextUtil.tokens(if (t == null) "" else t)
+          (id, toks.slice(5, 40).mkString(" "))
+        }.toDF("doc_id", "text")
+      TextOps.curateCorpus(s, docs, "doc_id", "text", "lang", "source",
+          "n_chars", bench, cap = 10,
+          rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1,
+          salt = "graft")
+        .orderBy("id")
+    }),
     // C4 cleaning rules (Raffel et al. 2020) over synthesized multi-line
     // pages (the flat testdata text carries no lines/sentences, so both
     // engines derive the same page deterministically — the planted-
@@ -862,6 +882,18 @@ object SparkEntry {
     "t_bpe" -> ((s, dir) => {
       TextOps.bpeMerges(s, QueryLib.documents(s, dir), "text", 12)
         .orderBy("step")
+    }),
+    // BPE tokenizer APPLICATION: train 12 merges, then encode the corpus
+    // vocabulary with them. encode(trainCorpus) must equal the trainer's
+    // final symbol table — the oracle is the w12 CTE, so the Spark-side
+    // encode fold (space-bounded single-pass replaces in merge order) is
+    // pinned against an independent replay of the training rewrite.
+    "t_bpe_encode" -> ((s, dir) => {
+      val docs = QueryLib.documents(s, dir)
+      val merges = TextOps.bpeMerges(s, docs, "text", 12)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeEncode(s, docs, "text", merges).orderBy("word")
     }),
     "t_quality" -> ((s, dir) => {
       val cols = TextOps.qualityColumns(col("text"))
@@ -1271,6 +1303,95 @@ object SparkEntry {
       |SELECT id_a, id_b FROM pairs
       |WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.35
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Shared CTE prefix for the BPE oracles: w0 = the distinct word-count
+    * symbol table; per step i, pair counts p_i, the (count desc, pair asc)
+    * argmax b_i, and the rewritten table w_i. MATERIALIZED is load-bearing:
+    * each w_i is consumed by BOTH p_{i+1} and w_{i+1}, so an inlining
+    * planner expands the chain into a 2^K-leaf tree — measured 478 s vs
+    * 0.8 s at sf0.001 in DuckDB. */
+  private def bpeCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      "WITH w0 AS MATERIALIZED (\n" +
+      "  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' </w>' AS sym, c\n" +
+      "  FROM (\n" +
+      "    SELECT w, count(*) AS c FROM (\n" +
+      "      SELECT lower(unnest(list_filter(string_split_regex(text, '\\s+'),\n" +
+      "        x -> len(x) > 0))) AS w\n" +
+      "      FROM documents)\n" +
+      "    WHERE regexp_matches(w, '^[a-z]+$')\n" +
+      "    GROUP BY w))")
+    for (i <- 1 to k) {
+      val p = i - 1
+      sb.append(s""",
+        |p$i AS MATERIALIZED (
+        |  SELECT s[j] AS l, s[j+1] AS r, sum(c) AS cnt
+        |  FROM (SELECT string_split(sym, ' ') AS s, c FROM w$p),
+        |       unnest(range(1, len(s))) AS t(j)
+        |  GROUP BY l, r),
+        |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |w$i AS MATERIALIZED (
+        |  SELECT trim(replace(' ' || sym || ' ',
+        |           ' ' || b.l || ' ' || b.r || ' ',
+        |           ' ' || b.l || b.r || ' ')) AS sym, c
+        |  FROM w$p, b$i b)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** Gopher-rule CTE chain (t, g, bi, bm, m, r) over `documents`; `r`
+    * ends with (doc_id, reason). Shared by t_filter_gopher and the
+    * composed t_curate pipeline oracle. */
+  private val GopherCtes: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(length(text) AS BIGINT) AS n_chars,
+      |         list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lines,
+      |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
+      |         CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, n_chars, n_punct, lines, toks,
+      |         CAST(len(toks) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_filter(toks, x -> list_contains(
+      |           ['the','a','an','and','or','of','to','in','is','it','on',
+      |            'for','with','as','at','by','that','this','be','are'], x))) AS BIGINT) AS n_stop,
+      |         list_transform(range(1, len(toks)),
+      |           i -> toks[i] || ' ' || toks[i+1]) AS bgs,
+      |         list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tgs
+      |  FROM t),
+      |bi AS (
+      |  SELECT doc_id, bg, count(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(bgs) AS bg FROM g) GROUP BY doc_id, bg),
+      |bm AS (SELECT doc_id, max(cnt) AS maxf FROM bi GROUP BY doc_id),
+      |m AS (
+      |  SELECT g.doc_id AS doc_id, n_tokens, n_stop,
+      |         CASE WHEN n_tokens > 0 THEN n_chars * 1000 // n_tokens ELSE 0 END AS avg_tok_milli,
+      |         CASE WHEN n_chars > 0 THEN n_punct * 1000 // n_chars ELSE 0 END AS punct_milli,
+      |         CASE WHEN len(lines) > 0 THEN
+      |           (len(lines) - len(list_distinct(lines))) * 1000 // len(lines)
+      |           ELSE 0 END AS dup_line_milli,
+      |         CASE WHEN len(tgs) > 0 THEN
+      |           (len(tgs) - len(list_distinct(tgs))) * 1000 // len(tgs)
+      |           ELSE 0 END AS dup_tri_milli,
+      |         CASE WHEN len(bgs) > 0 THEN
+      |           coalesce(bm.maxf, 0) * 1000 // len(bgs)
+      |           ELSE 0 END AS top_bi_milli
+      |  FROM g LEFT JOIN bm ON g.doc_id = bm.doc_id),
+      |r AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n_tokens < 50 THEN 'too_few_tokens'
+      |         WHEN n_tokens > 100000 THEN 'too_many_tokens'
+      |         WHEN avg_tok_milli < 3000 OR avg_tok_milli > 10000 THEN 'bad_mean_word_len'
+      |         WHEN n_stop < 2 THEN 'too_few_stopwords'
+      |         WHEN punct_milli > 300 THEN 'high_punct_ratio'
+      |         WHEN dup_line_milli > 300 THEN 'high_dup_lines'
+      |         WHEN dup_tri_milli > 300 THEN 'high_dup_trigrams'
+      |         WHEN top_bi_milli > 200 THEN 'top_bigram_heavy'
+      |         ELSE NULL END AS reason
+      |  FROM m)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "x_html" ->
@@ -1851,57 +1972,52 @@ object SparkEntry {
         |           ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents) WHERE rk <= 10
         |ORDER BY source, rk""".stripMargin,
-    "t_filter_gopher" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         CAST(length(text) AS BIGINT) AS n_chars,
-        |         list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lines,
-        |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks,
-        |         CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, n_chars, n_punct, lines, toks,
-        |         CAST(len(toks) AS BIGINT) AS n_tokens,
-        |         CAST(len(list_filter(toks, x -> list_contains(
-        |           ['the','a','an','and','or','of','to','in','is','it','on',
-        |            'for','with','as','at','by','that','this','be','are'], x))) AS BIGINT) AS n_stop,
-        |         list_transform(range(1, len(toks)),
-        |           i -> toks[i] || ' ' || toks[i+1]) AS bgs,
-        |         list_transform(range(1, len(toks) - 1),
-        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tgs
-        |  FROM t),
-        |bi AS (
-        |  SELECT doc_id, bg, count(*) AS cnt
-        |  FROM (SELECT doc_id, unnest(bgs) AS bg FROM g) GROUP BY doc_id, bg),
-        |bm AS (SELECT doc_id, max(cnt) AS maxf FROM bi GROUP BY doc_id),
-        |m AS (
-        |  SELECT g.doc_id AS doc_id, n_tokens, n_stop,
-        |         CASE WHEN n_tokens > 0 THEN n_chars * 1000 // n_tokens ELSE 0 END AS avg_tok_milli,
-        |         CASE WHEN n_chars > 0 THEN n_punct * 1000 // n_chars ELSE 0 END AS punct_milli,
-        |         CASE WHEN len(lines) > 0 THEN
-        |           (len(lines) - len(list_distinct(lines))) * 1000 // len(lines)
-        |           ELSE 0 END AS dup_line_milli,
-        |         CASE WHEN len(tgs) > 0 THEN
-        |           (len(tgs) - len(list_distinct(tgs))) * 1000 // len(tgs)
-        |           ELSE 0 END AS dup_tri_milli,
-        |         CASE WHEN len(bgs) > 0 THEN
-        |           coalesce(bm.maxf, 0) * 1000 // len(bgs)
-        |           ELSE 0 END AS top_bi_milli
-        |  FROM g LEFT JOIN bm ON g.doc_id = bm.doc_id),
-        |r AS (
-        |  SELECT doc_id,
-        |    CASE WHEN n_tokens < 50 THEN 'too_few_tokens'
-        |         WHEN n_tokens > 100000 THEN 'too_many_tokens'
-        |         WHEN avg_tok_milli < 3000 OR avg_tok_milli > 10000 THEN 'bad_mean_word_len'
-        |         WHEN n_stop < 2 THEN 'too_few_stopwords'
-        |         WHEN punct_milli > 300 THEN 'high_punct_ratio'
-        |         WHEN dup_line_milli > 300 THEN 'high_dup_lines'
-        |         WHEN dup_tri_milli > 300 THEN 'high_dup_trigrams'
-        |         WHEN top_bi_milli > 200 THEN 'top_bigram_heavy'
-        |         ELSE NULL END AS reason
-        |  FROM m)
+    "t_filter_gopher" -> (GopherCtes +
+      """
         |SELECT doc_id, reason IS NULL AS keep, reason
-        |FROM r ORDER BY doc_id""".stripMargin,
+        |FROM r ORDER BY doc_id""".stripMargin),
+    "t_curate" -> (GopherCtes +
+      """,
+        |keep AS (SELECT doc_id FROM r WHERE reason IS NULL),
+        |d1 AS (
+        |  SELECT d.doc_id, d.text, d.lang AS stratum, d.source, d.n_chars
+        |  FROM documents d JOIN keep USING (doc_id)),
+        |reps AS (SELECT min(doc_id) AS doc_id FROM d1 GROUP BY text),
+        |d2 AS (SELECT d1.* FROM d1 JOIN reps USING (doc_id)),
+        |toks2 AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM d2),
+        |tg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 11),
+        |    i -> array_to_string(t[i:i+12], ' ')))) AS gram
+        |  FROM toks2 WHERE len(t) >= 13),
+        |bt AS (
+        |  SELECT doc_id, t[6:40] AS t
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |        FROM documents WHERE doc_id % 20 = 0)),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(t) - 11),
+        |    i -> array_to_string(t[i:i+12], ' ')))) AS gram
+        |  FROM bt WHERE len(t) >= 13),
+        |contam AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (gram)),
+        |d3 AS (
+        |  SELECT d2.* FROM d2 LEFT JOIN contam ON d2.doc_id = contam.doc_id
+        |  WHERE contam.doc_id IS NULL),
+        |rk AS (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM d3),
+        |d4 AS (SELECT d3.* FROM d3 JOIN rk USING (doc_id) WHERE rk.rk <= 10)
+        |SELECT CAST(doc_id AS BIGINT) AS id, stratum, source,
+        |       CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                            x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |FROM d4
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 6) <
+        |  CASE stratum WHEN 'en' THEN '800000' WHEN 'de' THEN '400000'
+        |               ELSE '199999' END
+        |ORDER BY id""".stripMargin),
     "t_filter_c4" -> (PagedCte +
       """,
         |l AS (
@@ -1977,32 +2093,7 @@ object SparkEntry {
         |FROM a ORDER BY tf DESC, token LIMIT 100""".stripMargin,
     "t_bpe" -> {
       val K = 12
-      val sb = new StringBuilder
-      sb.append(
-        "WITH w0 AS (\n" +
-        "  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' </w>' AS sym, c\n" +
-        "  FROM (\n" +
-        "    SELECT w, count(*) AS c FROM (\n" +
-        "      SELECT lower(unnest(list_filter(string_split_regex(text, '\\s+'),\n" +
-        "        x -> len(x) > 0))) AS w\n" +
-        "      FROM documents)\n" +
-        "    WHERE regexp_matches(w, '^[a-z]+$')\n" +
-        "    GROUP BY w))")
-      for (i <- 1 to K) {
-        val p = i - 1
-        sb.append(s""",
-          |p$i AS (
-          |  SELECT s[j] AS l, s[j+1] AS r, sum(c) AS cnt
-          |  FROM (SELECT string_split(sym, ' ') AS s, c FROM w$p),
-          |       unnest(range(1, len(s))) AS t(j)
-          |  GROUP BY l, r),
-          |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-          |w$i AS (
-          |  SELECT trim(replace(' ' || sym || ' ',
-          |           ' ' || b.l || ' ' || b.r || ' ',
-          |           ' ' || b.l || b.r || ' ')) AS sym, c
-          |  FROM w$p, b$i b)""".stripMargin)
-      }
+      val sb = new StringBuilder(bpeCtes(K))
       sb.append("\nSELECT * FROM (\n")
       sb.append((1 to K).map(i =>
         s"  SELECT CAST($i AS BIGINT) AS step, l AS lsym, r AS rsym," +
@@ -2011,6 +2102,11 @@ object SparkEntry {
       sb.append("\n) ORDER BY step")
       sb.toString
     },
+    "t_bpe_encode" -> (bpeCtes(12) +
+      """
+        |SELECT replace(replace(sym, ' ', ''), '</w>', '') AS word,
+        |       sym AS pieces, CAST(c AS BIGINT) AS n
+        |FROM w12 ORDER BY word""".stripMargin),
     "t_quality" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -537,6 +537,45 @@ object TextOps {
       .toDF("step", "lsym", "rsym", "pair_count")
   }
 
+  /** BPE tokenizer APPLICATION — encode a corpus with an already-trained
+    * merge table (the other half of [[bpeMerges]]: train once, encode
+    * everywhere). `merges` is the ordered (lsym, rsym) list from the
+    * trainer; each merge is applied as the same single-pass left-to-right
+    * space-bounded literal replace the trainer used to rewrite its symbol
+    * table, so encode(trainCorpus) reproduces the trainer's final symbol
+    * table exactly — that identity is what the DuckDB oracle pins.
+    * Output: (word, pieces, n) — the distinct normalized word, its
+    * space-joined subword segmentation ending in </w>, and its corpus
+    * count.
+    *
+    * Scale shape: the merge table is a driver-side artifact (K entries —
+    * the trained tokenizer, same role as a broadcast model); the corpus
+    * pays ONE map-side-combined word-count exchange, then the K replaces
+    * fold into one narrow codegen'd expression chain over the
+    * vocab-bounded table. Nothing else shuffles; at 100 TB the encode
+    * cost is the word count. Per-document token sequences (rather than
+    * the vocab table) would be the same fold applied before the groupBy —
+    * narrow either way. */
+  def bpeEncode(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    merges.foreach { case (l, r) =>
+      require((l + r).matches("[a-z</>]+"), s"unsafe merge symbol: '$l','$r'")
+    }
+    val words = df
+      .select(explode(tokenize(col(textCol))).as("w"))
+      .select(lower(col("w")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val sym0 = concat(trim(regexp_replace(col("w"), "(.)", "$1 ")),
+      lit(" </w>"))
+    val pieces = merges.foldLeft(sym0) { case (c, (l, r)) =>
+      trim(org.apache.spark.sql.functions.replace(
+        concat(lit(" "), c, lit(" ")), lit(s" $l $r "), lit(s" $l$r ")))
+    }
+    words.select(col("w").as("word"), pieces.as("pieces"),
+      col("n").cast("long").as("n"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169):
     * score every document by how much more likely its hashed-ngram
@@ -729,6 +768,60 @@ object TextOps {
     perDoc.select(col("id").as(idCol), col("n_lines"), col("n_boiler"),
       floor(col("n_boiler") * lit(1000) / col("n_lines")).cast("long")
         .as("boiler_milli"))
+  }
+
+  /** End-to-end corpus curation — the composed training-data recipe every
+    * web corpus runs (C4/Gopher → dedup → decontaminate → mix), built
+    * from this library's already-audited stages in their canonical order:
+    *
+    *   1. quality gate: [[filterGopher]] keep verdicts;
+    *   2. exact dedup:  [[graft.ops.Dedup.exact]] min-id survivors;
+    *   3. benchmark decontamination: [[decontaminate]] 13-gram overlap
+    *      against `bench` (GPT-3 rule), contaminated docs dropped;
+    *   4. per-source quota: [[capPerSource]] top-`cap` by `ordCol`;
+    *   5. deterministic mixing: [[stratifiedSample]] md5-threshold rates.
+    *
+    * Output: the surviving documents as (id, stratum, source, n_tokens).
+    *
+    * Scale shape: every stage emits an id-only verdict that re-enters as
+    * a `left_semi` join on the 8-byte id — the document text crosses an
+    * exchange only where the stage itself needs it (the dedup groupBy
+    * hashes it to 64 bits first; the decontamination gram explode is the
+    * train-side distinct-gram shape). Verdict sides are small by
+    * construction (survivor ids), so AQE broadcasts them; the quality
+    * gate and the sampling predicate are narrow and cost no shuffle at
+    * all. This is the composition you'd run at 100 TB — each stage's
+    * plan was audited individually (PlanSpec), and composing by id-semi-
+    * join keeps those plans intact instead of fusing one giant DAG whose
+    * optimizer fate is harder to reason about. */
+  def curateCorpus(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                   idCol: String, textCol: String, stratumCol: String,
+                   sourceCol: String, ordCol: String, bench: DataFrame,
+                   cap: Int, rates: Map[String, Double],
+                   defaultRate: Double, salt: String): DataFrame = {
+    val docs = df.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("text"), col(stratumCol).as("stratum"),
+      col(sourceCol).as("source"), col(ordCol).as("ord"))
+    // 1. quality gate (narrow; verdict ids only)
+    val quality = filterGopher(spark, docs, "id", "text")
+      .filter(col("keep")).select("id")
+    val d1 = docs.join(quality, Seq("id"), "left_semi")
+    // 2. exact dedup: min-id representative per identical text
+    val reps = graft.ops.Dedup.exact(d1, "id", "text").select("id")
+    val d2 = d1.join(reps, Seq("id"), "left_semi")
+    // 3. benchmark decontamination (13-gram GPT-3 rule); bench is any
+    // two-column (id, text)-shaped frame — rename to the internal names
+    val benchN = bench.toDF("id", "text")
+    val clean = decontaminate(spark, d2, benchN, "id", "text", 13)
+      .filter(!col("contaminated")).select("id")
+    val d3 = d2.join(clean, Seq("id"), "left_semi")
+    // 4. per-source quota
+    val kept = capPerSource(d3, "id", "source", "ord", cap).select("id")
+    val d4 = d3.join(kept, Seq("id"), "left_semi")
+    // 5. deterministic stratified mixing
+    stratifiedSample(d4, "id", "stratum", rates, defaultRate, salt)
+      .select(col("id"), col("stratum"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
   }
 
   /** Corpus text normalization: Unicode NFC composition (via the native
