@@ -605,6 +605,16 @@ object SparkEntry {
       TextOps.tokenWindows(s, QueryLib.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id", "win_idx")
     }),
+    // Sequence packing (GPT-style concat-and-chunk): documents in id
+    // order form one virtual token stream cut every 512 tokens; output =
+    // per-(chunk, doc) segment index. Spark runs the distributed
+    // two-phase prefix sum; the oracle is the equivalent single-node
+    // global window sum — same integers, opposite execution shape.
+    "t_pack" -> ((s, dir) => {
+      TextOps.packSequences(s, QueryLib.documents(s, dir), "doc_id", "text",
+          contextLen = 512)
+        .orderBy("chunk_id", "doc_id")
+    }),
     // Deterministic stratified sampling (training-data mixing weights by
     // language): md5-prefix threshold, portable to any engine with md5 —
     // the oracle replicates the exact predicate.
@@ -1675,6 +1685,22 @@ object SparkEntry {
         |       array_to_string(toks[start:least(start + 49, len(toks))], ' ')
         |         AS window_text
         |FROM w ORDER BY doc_id, win_idx""".stripMargin,
+    "t_pack" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                              x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n,
+        |         CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS off
+        |  FROM t WHERE n > 0)
+        |SELECT CAST(c AS BIGINT) AS chunk_id, doc_id,
+        |       CAST(greatest(0, c * 512 - off) AS BIGINT) AS doc_from,
+        |       CAST(least(n, (c + 1) * 512 - off)
+        |            - greatest(0, c * 512 - off) AS BIGINT) AS seg_len
+        |FROM o, unnest(range(off // 512, (off + n - 1) // 512 + 1)) AS u(c)
+        |ORDER BY chunk_id, doc_id""".stripMargin,
     "t_sample_stratified" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 6) <

@@ -576,6 +576,72 @@ object TextOps {
       col("n").cast("long").as("n"))
   }
 
+  /** Sequence packing — map every document's token span into fixed-length
+    * training contexts (the GPT-style concat-and-chunk packing: documents
+    * in deterministic id order form one virtual token stream, cut every
+    * `contextLen` tokens). Output one row per (chunk, document) segment:
+    * (chunk_id, doc_id, doc_from = first token index of the segment
+    * within the doc, seg_len) — the index a training loader needs to
+    * materialize chunk tensors, without ever materializing the stream.
+    *
+    * Scale shape: the naive formulation is `sum(n) OVER (ORDER BY id)` —
+    * a GLOBAL-order window, which Spark executes as a single task (no
+    * partitionBy = one partition): a non-starter at 100 TB. This is the
+    * textbook distributed prefix-sum instead: range-partition by id and
+    * sort within partitions (one exchange, the same shape as a global
+    * sort), one tiny job to collect the per-partition token totals
+    * (numPartitions longs to the driver), then a narrow mapPartitions
+    * that seeds each partition with the exclusive prefix of those totals
+    * and emits segments with running offsets. The persist() pins the
+    * range partitioning so both passes see identical splits (range
+    * boundaries come from sampling; recomputation could resample).
+    * Total cost: one range exchange + one narrow pass — the window
+    * formulation's semantics at scan-like cost. */
+  def packSequences(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                    idCol: String, textCol: String,
+                    contextLen: Int): DataFrame = {
+    import spark.implicits._
+    require(contextLen > 0, s"contextLen must be positive: $contextLen")
+    val counted = df
+      .select(col(idCol).cast("long").as("id"),
+        tokenCount(col(textCol)).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .repartitionByRange(col("id"))
+      .sortWithinPartitions("id")
+      .as[(Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // pass 1: per-partition token totals (numPartitions rows to driver)
+    val partSums = counted
+      .mapPartitions { it =>
+        var s = 0L; it.foreach(s += _._2)
+        Iterator.single(
+          (org.apache.spark.TaskContext.getPartitionId(), s))
+      }
+      .collect().sortBy(_._1)
+    val offsets = new Array[Long](partSums.length + 1)
+    partSums.foreach { case (pid, s) => offsets(pid + 1) = s }
+    for (i <- 1 until offsets.length) offsets(i) += offsets(i - 1)
+    val bcast = spark.sparkContext.broadcast(offsets)
+    val L = contextLen.toLong
+    // pass 2: narrow segment emission with the seeded running offset
+    val segs = counted.mapPartitions { it =>
+      var off = bcast.value(org.apache.spark.TaskContext.getPartitionId())
+      it.flatMap { case (id, n) =>
+        val start = off
+        off += n
+        (start / L to (start + n - 1) / L).iterator.map { c =>
+          val from = math.max(0L, c * L - start)
+          val until = math.min(n, (c + 1) * L - start)
+          (c, id, from, until - from)
+        }
+      }
+    }.toDF("chunk_id", "doc_id", "doc_from", "seg_len")
+    segs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .count() // materialize before releasing the range-partitioned input
+    counted.unpersist(false)
+    segs
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169):
     * score every document by how much more likely its hashed-ngram

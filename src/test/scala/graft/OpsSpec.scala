@@ -784,4 +784,74 @@ class OpsSpec extends AnyFunSuite {
     // off-domain docs have negative importance weight (rarer under target)
     assert(w(2L)._2 < 0 && w(3L)._2 < 0)
   }
+
+  test("packSequences: straddle, exact-boundary, and empty docs") {
+    // L=5; doc 1: 3 toks [0,3); doc 2: 4 toks [3,7) straddles chunks 0/1;
+    // doc 3: empty (skipped); doc 4: 3 toks [7,10) ends exactly at the
+    // chunk-1 boundary; doc 5: 1 tok opens chunk 2 at offset 10.
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "   "),
+      (4L, "h i j"), (5L, "k")).toDF("doc_id", "text")
+    val segs = TextOps.packSequences(spark, docs, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(segs.toSeq == Seq(
+      (0L, 1L, 0L, 3L),   // whole doc 1 in chunk 0
+      (0L, 2L, 0L, 2L),   // doc 2 head fills chunk 0
+      (1L, 2L, 2L, 2L),   // doc 2 tail opens chunk 1
+      (1L, 4L, 0L, 3L),   // doc 4 closes chunk 1 exactly
+      (2L, 5L, 0L, 1L)))  // doc 5 opens chunk 2
+    // every chunk but the last is exactly full
+    val byChunk = segs.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(byChunk(0L) == 5 && byChunk(1L) == 5 && byChunk(2L) == 1)
+  }
+
+  test("bpeEncode reproduces the trainer's final symbol table") {
+    val docs = Seq((1L, "low lower lowest low low newer new"),
+      (2L, "low lower newer newer wider")).toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(spark, docs, "text", 6)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty && merges.head == (("l", "o"))) // 'lo' 5x wins
+    val enc = TextOps.bpeEncode(spark, docs, "text", merges)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // wait-free sanity: counts survive, 'low' fully merges within 6 steps
+    assert(enc("low")._2 == 4L)
+    assert(enc.keySet == Set("low", "lower", "lowest", "newer", "new", "wider"))
+    // every piece string reassembles to word + </w>
+    enc.foreach { case (w, (p, _)) =>
+      assert(p.replace(" ", "").stripSuffix("</w>") == w) }
+    // unsafe merge symbols are rejected (SQL-literal injection guard)
+    intercept[IllegalArgumentException] {
+      TextOps.bpeEncode(spark, docs, "text", Seq(("a'", "b")))
+    }
+  }
+
+  test("curateCorpus: each stage's verdict bites") {
+    // 30 quality docs (long, stopword-y) + 1 short reject + 1 duplicate
+    // pair + 1 contaminated doc; two sources, capped at 3 per source.
+    val good = (1 to 30).map { i =>
+      (i.toLong,
+        s"the quick brown fox number $i jumps over the lazy dog and then " +
+        "walks on to the river where it sits by the water for a while " +
+        "and it is a calm day in the field as the sun sets over the hill " +
+        "and the birds are in the trees by the old stone wall tonight",
+        "en", if (i % 2 == 0) "srcA" else "srcB", 300L - i)
+    }
+    val short = Seq((31L, "too short", "en", "srcA", 5L))
+    val dup = Seq((32L, good(0)._2, "en", "srcB", 1L)) // exact dup of id 1
+    val docs = (good ++ short ++ dup)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bench = Seq((99L, good(1)._2)).toDF("id", "text") // contaminates id 2
+    val out = TextOps.curateCorpus(spark, docs, "doc_id", "text", "lang",
+        "source", "n_chars", bench, cap = 3,
+        rates = Map("en" -> 1.0), defaultRate = 0.0, salt = "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(!out.contains(31L)) // quality gate
+    assert(!out.contains(32L)) // exact dedup (id 1 is the min-id survivor)
+    assert(!out.contains(2L))  // decontaminated
+    assert(out.size <= 6)      // 3 per source max
+    assert(out.subsetOf((1L to 30L).toSet))
+  }
 }
