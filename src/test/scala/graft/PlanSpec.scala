@@ -159,4 +159,33 @@ class PlanSpec extends AnyFunSuite {
     val plan = pending.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(1500))
   }
+
+  test("packSequences: one range exchange, no global-order window, text pruned from the exchange") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    val segs = graft.ops.TextOps.packSequences(spark,
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", 512)
+    val plan = planOf(segs)
+    // the whole point: the naive sum(n) OVER (ORDER BY id) would appear
+    // as a Window over a SinglePartition exchange — must not exist
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("SinglePartition"), plan.take(2000))
+    segs.unpersist(false)
+  }
+
+  test("curateCorpus: verdict joins broadcast; no cartesian/BNLJ anywhere") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = Seq((1L, "zz yy xx")).toDF("id", "text")
+    val out = graft.ops.TextOps.curateCorpus(spark, docs, "doc_id", "text",
+      "lang", "source", "n_chars", bench, 10,
+      Map("en" -> 0.5), 0.1, "s")
+    out.collect() // AQE finalizes join strategies at runtime
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the id-only verdict sides are small: every semi join must broadcast
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(2000))
+  }
 }
