@@ -543,6 +543,15 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
         .orderBy("doc_id")),
+    // Incremental dedup vs a prior corpus snapshot (bloom prefilter +
+    // exact verify; bloom is performance-only so the oracle is the plain
+    // text-equality join). Prior = every third document.
+    "t_dedup_incr" -> ((s, dir) => {
+      val docs = QueryLib.documents(s, dir)
+      val prior = docs.filter(col("doc_id") % 3 === 0)
+      Dedup.dedupAgainst(s, prior, docs, "doc_id", "text")
+        .orderBy("id")
+    }),
     // End-to-end corpus dedup (exact collapse -> star LSH -> connected
     // components -> survivor), exact-verified so the oracle is the
     // ground-truth jaccard>=0.8 graph: exhaustive shingle-jaccard pairs +
@@ -1568,6 +1577,11 @@ object SparkEntry {
     "t_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "t_dedup_incr" ->
+      """WITH p AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0)
+        |SELECT CAST(d.doc_id AS BIGINT) AS id, p.text IS NOT NULL AS is_dup
+        |FROM documents d LEFT JOIN p ON d.text = p.text
+        |ORDER BY id""".stripMargin,
     "t_token_count" ->
       """SELECT doc_id,
         |       CAST(len(list_filter(string_split_regex(text, '\s+'),

@@ -31,6 +31,50 @@ object Dedup {
       .drop("h")
   }
 
+  /** Incremental dedup of a new batch AGAINST a prior corpus snapshot —
+    * the "have we already trained on this page" check every continuous
+    * crawl ingest runs. Output: (id, is_dup) for every batch row, exact.
+    *
+    * Execution shape: the prior side collapses to distinct 64-bit content
+    * hashes; a bloom filter over them (built with Spark's treeAggregate
+    * sketch) broadcasts to the batch side as a NARROW prefilter, so the
+    * only rows that reach the exact verify join are bloom hits —
+    * true dups plus an fpp-sized sliver of false positives, which the
+    * exact semi-join then kills. The result is therefore EXACT (the bloom
+    * is pure performance), which is what lets a plain SQL join oracle it.
+    *
+    * Scale honesty: the driver/broadcast bloom is ~1.2 GiB per 1e9 prior
+    * docs at fpp=0.01 — fine to ~1e9-doc snapshots. At 10^12-doc priors,
+    * shard the bloom by hash prefix (k broadcasts, batch routed by the
+    * same prefix) or skip the prefilter and let AQE plan the semi-join;
+    * the verify join here is written so either prefilter slots in front
+    * of it unchanged. */
+  def dedupAgainst(spark: org.apache.spark.sql.SparkSession,
+                   prior: DataFrame, batch: DataFrame,
+                   idCol: String, textCol: String,
+                   fpp: Double = 0.01): DataFrame = {
+    import spark.implicits._
+    val priorH = prior.select(xxhash64(col(textCol)).as("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val n = math.max(priorH.count(), 1L)
+    val bf = priorH.stat.bloomFilter("h", n, fpp)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val candidates = batch
+      .select(col(idCol).cast("long").as("id"), xxhash64(col(textCol)).as("h"))
+      .as[(Long, Long)]
+      .filter(t => bcast.value.mightContainLong(t._2))
+      .toDF("id", "h")
+    val dup = candidates.join(priorH, Seq("h"), "left_semi")
+      .select(col("id")).withColumn("is_dup", lit(true))
+    val out = batch.select(col(idCol).cast("long").as("id"))
+      .join(dup, Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .count() // materialize before releasing the prior-hash cache
+    priorH.unpersist(false)
+    out
+  }
+
   // ---- MinHash ---------------------------------------------------------
 
   /** Deterministic 64-bit string hash (FNV-1a), stable across JVMs. */

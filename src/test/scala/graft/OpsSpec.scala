@@ -785,6 +785,20 @@ class OpsSpec extends AnyFunSuite {
     assert(w(2L)._2 < 0 && w(3L)._2 < 0)
   }
 
+  test("dedupAgainst flags exactly the batch rows whose text exists in prior") {
+    val prior = Seq((100L, "seen before"), (101L, "also seen"))
+      .toDF("doc_id", "text")
+    val batch = Seq((1L, "seen before"), (2L, "brand new"),
+      (3L, "also seen"), (4L, "seen before"), (5L, "another new one"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupAgainst(spark, prior, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true,
+      5L -> false))
+    // batch-internal duplicates (1 and 4) are both flagged vs prior but
+    // NOT deduped against each other — that's Dedup.exact's job
+  }
+
   test("packSequences: straddle, exact-boundary, and empty docs") {
     // L=5; doc 1: 3 toks [0,3); doc 2: 4 toks [3,7) straddles chunks 0/1;
     // doc 3: empty (skipped); doc 4: 3 toks [7,10) ends exactly at the
