@@ -207,6 +207,7 @@ object Bench {
         "t_url_canon", "t_url_dedup", "t_normalize", "t_fix_mojibake",
         "t_strip_dupsub", "t_outlinks", "t_bm25", "t_pagerank", "t_lm_score",
         "t_dsir", "e_semdedup", "t_bpe", "t_bpe_encode", "t_curate", "t_pack",
+        "t_dedup_incr",
         "i_spans_strip", "i_spans_render",
         "s_ann_brute", "s_ann_lsh", "s_ann_ivf", "s_ann_ivfpq", "a_patterns",
         "a_thread_join", "m_events_window")

@@ -175,11 +175,50 @@ object Soak {
         .orderBy(col("r").desc).limit(1).collect()(0).getLong(1)
     }
 
+    // 7-9. the curation-composition axis at soak scale, over the
+    // reassembled text bodies: the five-stage curate recipe (its verdict
+    // semi-joins and the decontamination gram explode are the exchanges
+    // that matter), sequence packing (the range exchange + prefix-sum
+    // collect), and incremental dedup vs a half-corpus prior snapshot
+    // (bloom build + broadcast + verify semi-join).
+    val soakBodies = {
+      val spans = graft.table.SnapshotTable.read(spark, snapDir, "spans")
+      spans.filter($"kind" === "text")
+        .groupBy($"doc_id")
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct($"seq", $"text"))),
+          s => s.getField("text"))).as("body"))
+        .select(xxhash64($"doc_id").as("id"), $"body",
+          pmod(xxhash64($"doc_id"), lit(3)).cast("string").as("stratum"),
+          pmod(xxhash64(concat($"doc_id", lit("s"))), lit(1000))
+            .cast("string").as("source"),
+          length($"body").cast("long").as("ord"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }
+    val curateKept = phase("curate_corpus") {
+      val bench = soakBodies.filter(pmod($"id", lit(97)) === 0)
+        .select($"id", $"body").limit(5000)
+      graft.ops.TextOps.curateCorpus(spark, soakBodies, "id", "body",
+        "stratum", "source", "ord", bench, cap = 5000,
+        rates = Map("0" -> 0.5, "1" -> 0.25), defaultRate = 0.1,
+        salt = "soak").count()
+    }
+    val packChunks = phase("pack_sequences") {
+      graft.ops.TextOps.packSequences(spark, soakBodies, "id", "body", 2048)
+        .agg(max($"chunk_id")).head().getLong(0) + 1
+    }
+    val incrDups = phase("dedup_incremental") {
+      val prior = soakBodies.filter(pmod($"id", lit(2)) === 0)
+      graft.ops.Dedup.dedupAgainst(spark, prior, soakBodies, "id", "body")
+        .filter($"is_dup").count()
+    }
+    soakBodies.unpersist(false)
+
     val total = phases.values.sum
     val pipeSec = phases("pipeline_durable")
     val qs = phases.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"soak_total","value":$total%.3f,"unit":"sec","phases":$qs,"n_docs":$nDocs,"meta_rows":$metaCount,"dedup_rows":$dedupCount,"distinct_bodies":$distinctBodies,"neardup_pairs":$pairCount,"spans_kept":$stripCount,"dupsub_docs_touched":$dupsubCount,"pagerank_top_micro":$prTop,"docs_per_sec":${metaCount / math.max(pipeSec, 1e-9)}%.1f,"pending_partitions":$parts,"shuffle_partitions":${math.max(cpus.toInt * 2, 256)},"peak_heap_mib":${peakHeap / (1 << 20)},"cpus":$cpus}""")
+    println(f"""{"metric":"soak_total","value":$total%.3f,"unit":"sec","phases":$qs,"n_docs":$nDocs,"meta_rows":$metaCount,"dedup_rows":$dedupCount,"distinct_bodies":$distinctBodies,"neardup_pairs":$pairCount,"spans_kept":$stripCount,"dupsub_docs_touched":$dupsubCount,"pagerank_top_micro":$prTop,"curate_kept":$curateKept,"pack_chunks":$packChunks,"incr_dups":$incrDups,"docs_per_sec":${metaCount / math.max(pipeSec, 1e-9)}%.1f,"pending_partitions":$parts,"shuffle_partitions":${math.max(cpus.toInt * 2, 256)},"peak_heap_mib":${peakHeap / (1 << 20)},"cpus":$cpus}""")
     spark.stop()
   }
 }

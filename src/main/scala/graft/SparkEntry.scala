@@ -614,6 +614,16 @@ object SparkEntry {
       TextOps.tokenWindows(s, QueryLib.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id", "win_idx")
     }),
+    // Data-mixing epoch assignment: per-stratum token budgets -> per-doc
+    // repetition factors (n_full epochs + deterministic fractional draw)
+    "t_mix" -> ((s, dir) => {
+      val docs = QueryLib.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      TextOps.mixEpochs(s, docs, "doc_id", "lang", "n_tokens",
+          budgets = Map("en" -> 2000000L, "de" -> 500000L), salt = "mix")
+        .orderBy("id")
+    }),
     // Sequence packing (GPT-style concat-and-chunk): documents in id
     // order form one virtual token stream cut every 512 tokens; output =
     // per-(chunk, doc) segment index. Spark runs the distributed
@@ -887,6 +897,14 @@ object SparkEntry {
     "i_spans_render" -> ((s, dir) => {
       graft.ops.SpanOps.renderInterleaved(spanDocs(s, dir))
         .orderBy("doc_id")
+    }),
+    // multimodal sequence packing over the interleaved shape: text spans
+    // count their tokens, media spans count one placeholder position;
+    // 512-position contexts via the shared two-phase prefix sum
+    "i_spans_pack" -> ((s, dir) => {
+      graft.ops.SpanOps.packInterleaved(s, spanDocs(s, dir),
+          contextLen = 512)
+        .orderBy("chunk_id", "doc_id")
     }),
     // corpus vocabulary: token -> (tf, df), top-100 by tf with
     // deterministic tiebreak — the tokenizer-training word count
@@ -1699,6 +1717,26 @@ object SparkEntry {
         |       array_to_string(toks[start:least(start + 49, len(toks))], ' ')
         |         AS window_text
         |FROM w ORDER BY doc_id, win_idx""".stripMargin,
+    "t_mix" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, lang AS stratum,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                              x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |t AS (SELECT stratum, sum(n_tokens) AS stratum_tokens
+        |      FROM d GROUP BY stratum),
+        |b AS (SELECT * FROM (VALUES ('en', 2000000), ('de', 500000))
+        |      AS v(stratum, budget)),
+        |e AS (SELECT t.stratum,
+        |             CAST(b.budget * 1000 // t.stratum_tokens AS BIGINT)
+        |               AS epochs_milli
+        |      FROM t JOIN b USING (stratum))
+        |SELECT d.id, d.stratum, d.n_tokens, e.epochs_milli,
+        |       CAST(e.epochs_milli // 1000 AS BIGINT) AS n_full,
+        |       substring(md5(CAST(d.id AS VARCHAR) || 'mix'), 1, 6) <
+        |         printf('%06x', (e.epochs_milli % 1000) * 16777216 // 1000)
+        |         AS include_extra
+        |FROM d JOIN e USING (stratum) ORDER BY id""".stripMargin,
     "t_pack" ->
       """WITH t AS (
         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -2120,6 +2158,24 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN kind <> 'text' THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_media
         |FROM sp GROUP BY id ORDER BY doc_id""".stripMargin),
+    "i_spans_pack" -> (SpanCte +
+      """,
+        |n1 AS (
+        |  SELECT id, CAST(sum(CASE WHEN kind = 'text'
+        |    THEN len(list_filter(string_split_regex(stext, '\s+'),
+        |                         x -> len(x) > 0))
+        |    ELSE 1 END) AS BIGINT) AS n
+        |  FROM sp GROUP BY id),
+        |o AS (
+        |  SELECT id, n,
+        |         CAST(sum(n) OVER (ORDER BY id) - n AS BIGINT) AS off
+        |  FROM n1 WHERE n > 0)
+        |SELECT CAST(c AS BIGINT) AS chunk_id, id AS doc_id,
+        |       CAST(greatest(0, c * 512 - off) AS BIGINT) AS doc_from,
+        |       CAST(least(n, (c + 1) * 512 - off)
+        |            - greatest(0, c * 512 - off) AS BIGINT) AS seg_len
+        |FROM o, unnest(range(off // 512, (off + n - 1) // 512 + 1)) AS u(c)
+        |ORDER BY chunk_id, doc_id""".stripMargin),
     "t_vocab" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),

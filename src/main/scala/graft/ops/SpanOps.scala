@@ -82,4 +82,27 @@ object SpanOps {
           .otherwise(lit(mediaToken))), "\n").as("text"),
       size(filter(col(spansCol), sp => sp.getField("kind") =!= "text"))
         .cast("long").as("n_media"))
+
+  /** Multimodal sequence packing over the interleaved spans shape: pack
+    * documents into `contextLen`-token training contexts where each text
+    * span contributes its token count and each media span contributes
+    * EXACTLY ONE position (its `<|media|>` placeholder — the convention
+    * [[renderInterleaved]] renders and a multimodal loader resolves to
+    * patch embeddings). Output is [[graft.ops.TextOps.packSequences]]'s
+    * (chunk_id, doc_id, doc_from, seg_len) loader index, where token
+    * positions count through the interleaved stream.
+    *
+    * Scale shape: the per-doc length is ONE codegen'd `aggregate` over
+    * the nested array (no explode — span text never leaves the row);
+    * everything after is the shared distributed two-phase prefix sum. */
+  def packInterleaved(spark: SparkSession, docs: DataFrame,
+                      idCol: String = "doc_id", spansCol: String = "spans",
+                      contextLen: Int = 2048): DataFrame = {
+    val n = aggregate(col(spansCol), lit(0L), (acc, sp) =>
+      acc + when(sp.getField("kind") === "text",
+          TextOps.tokenCount(sp.getField("text")).cast("long"))
+        .otherwise(lit(1L)))
+    TextOps.packCounted(spark,
+      docs.select(col(idCol).cast("long").as("id"), n.as("n")), contextLen)
+  }
 }

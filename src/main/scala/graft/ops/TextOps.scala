@@ -599,12 +599,18 @@ object TextOps {
     * formulation's semantics at scan-like cost. */
   def packSequences(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
                     idCol: String, textCol: String,
-                    contextLen: Int): DataFrame = {
+                    contextLen: Int): DataFrame =
+    packCounted(spark, df.select(col(idCol).cast("long").as("id"),
+      tokenCount(col(textCol)).cast("long").as("n")), contextLen)
+
+  /** The distributed-prefix-sum core of [[packSequences]] /
+    * [[graft.ops.SpanOps.packInterleaved]]: `df` is (id, n) per-doc
+    * token counts; see packSequences for the shape rationale. */
+  private[ops] def packCounted(spark: org.apache.spark.sql.SparkSession,
+                               df: DataFrame, contextLen: Int): DataFrame = {
     import spark.implicits._
     require(contextLen > 0, s"contextLen must be positive: $contextLen")
     val counted = df
-      .select(col(idCol).cast("long").as("id"),
-        tokenCount(col(textCol)).cast("long").as("n"))
       .filter(col("n") > 0)
       .repartitionByRange(col("id"))
       .sortWithinPartitions("id")
@@ -640,6 +646,43 @@ object TextOps {
       .count() // materialize before releasing the range-partitioned input
     counted.unpersist(false)
     segs
+  }
+
+  /** Data-mixing epoch assignment — turn per-stratum token BUDGETS into
+    * per-document repetition factors (the Pile/LLaMA-style mix recipe:
+    * "2.4 epochs of wiki, 0.7 of web"). For each stratum with a budget:
+    * epochs_milli = floor(budget·1000 / stratum_tokens); a loader then
+    * repeats every doc n_full = epochs_milli/1000 times and includes it
+    * once more iff include_extra — a deterministic per-doc md5-threshold
+    * draw at the fractional rate, so the realized token count converges
+    * on the budget with zero RNG state. Strata without a budget are
+    * excluded (that's the mix spec's job). Output: (id, stratum,
+    * n_tokens, epochs_milli, n_full, include_extra).
+    *
+    * Scale shape: one map-side-combined groupBy for the per-stratum
+    * totals (rows = strata), broadcast back onto the docs; the
+    * fractional draw is the same narrow md5 predicate as
+    * [[stratifiedSample]]. Integer-exact throughout (milli epochs,
+    * floor'd 24-bit threshold), so the oracle replays it verbatim. */
+  def mixEpochs(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                idCol: String, stratumCol: String, tokensCol: String,
+                budgets: Map[String, Long], salt: String): DataFrame = {
+    import spark.implicits._
+    val docs = df.select(col(idCol).cast("long").as("id"),
+      col(stratumCol).as("stratum"), col(tokensCol).cast("long").as("n_tokens"))
+    val b = budgets.toSeq.toDF("stratum", "budget")
+    val eps = docs.groupBy("stratum")
+      .agg(sum("n_tokens").as("stratum_tokens"))
+      .join(b, Seq("stratum"))
+      .select(col("stratum"),
+        expr("CAST(budget * 1000 DIV stratum_tokens AS BIGINT)")
+          .as("epochs_milli"))
+    docs.join(broadcast(eps), Seq("stratum"))
+      .select(col("id"), col("stratum"), col("n_tokens"), col("epochs_milli"),
+        expr("CAST(epochs_milli DIV 1000 AS BIGINT)").as("n_full"),
+        (substring(md5(concat(col("id").cast("string"), lit(salt))), 1, 6) <
+          lower(lpad(hex(expr("(epochs_milli % 1000) * 16777216 DIV 1000")),
+            6, "0"))).as("include_extra"))
   }
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for

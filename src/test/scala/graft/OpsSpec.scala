@@ -820,6 +820,49 @@ class OpsSpec extends AnyFunSuite {
     assert(byChunk(0L) == 5 && byChunk(1L) == 5 && byChunk(2L) == 1)
   }
 
+  test("packInterleaved counts media spans as one position each") {
+    import graft.core.Span
+    // doc 1: 3 text tokens + 2 media = 5 positions (fills chunk 0 at L=5);
+    // doc 2: 1 media + 6 text tokens = 7 positions -> chunks 1 and 2
+    val docs = Seq(
+      (1L, Seq(Span("text", "a b", "", 0), Span("image", "", "m1", 2),
+        Span("text", "c", "", 3), Span("audio", "", "m2", 4))),
+      (2L, Seq(Span("video", "", "m3", 0), Span("text", "d e f", "", 1),
+        Span("text", "g h i", "", 4)))).toDF("doc_id", "spans")
+    val segs = graft.ops.SpanOps.packInterleaved(spark, docs,
+        contextLen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(segs.toSeq == Seq(
+      (0L, 1L, 0L, 5L), (1L, 2L, 0L, 5L), (2L, 2L, 5L, 2L)))
+  }
+
+  test("mixEpochs: budgets become milli-epochs; fractional draw is deterministic") {
+    val docs = Seq(
+      (1L, "en", 100L), (2L, "en", 300L), (3L, "de", 200L),
+      (4L, "fr", 50L)) // fr has no budget -> excluded
+      .toDF("doc_id", "lang", "n_tokens")
+    val out = TextOps.mixEpochs(spark, docs, "doc_id", "lang", "n_tokens",
+        budgets = Map("en" -> 1000L, "de" -> 100L), salt = "x")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    // en: 1000*1000/400 = 2500 milli -> 2 full epochs + 0.5 extra draw
+    assert(out(1L)._1 == 2500L && out(1L)._2 == 2L)
+    assert(out(2L)._1 == 2500L)
+    // de: 100*1000/200 = 500 milli -> 0 full epochs, 0.5 extra draw
+    assert(out(3L)._1 == 500L && out(3L)._2 == 0L)
+    assert(!out.contains(4L))
+    // the fractional draw is the documented md5 predicate, replayable
+    def draw(id: Long, milli: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${id}x".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      md < f"${milli % 1000 * 16777216 / 1000}%06x"
+    }
+    Seq(1L, 2L, 3L).foreach(id => assert(out(id)._3 == draw(id, out(id)._1)))
+  }
+
   test("bpeEncode reproduces the trainer's final symbol table") {
     val docs = Seq((1L, "low lower lowest low low newer new"),
       (2L, "low lower newer newer wider")).toDF("doc_id", "text")
