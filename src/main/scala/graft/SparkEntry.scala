@@ -614,6 +614,13 @@ object SparkEntry {
       TextOps.tokenWindows(s, QueryLib.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id", "win_idx")
     }),
+    // Corpus data card: per-(source, lang) rollup — docs/tokens/chars/
+    // distinct content + milli tokens-per-doc
+    "t_stats" -> ((s, dir) => {
+      TextOps.corpusStats(QueryLib.documents(s, dir), "text",
+          Seq("source", "lang"))
+        .orderBy("source", "lang")
+    }),
     // Data-mixing epoch assignment: per-stratum token budgets -> per-doc
     // repetition factors (n_full epochs + deterministic fractional draw)
     "t_mix" -> ((s, dir) => {
@@ -1717,6 +1724,17 @@ object SparkEntry {
         |       array_to_string(toks[start:least(start + 49, len(toks))], ' ')
         |         AS window_text
         |FROM w ORDER BY doc_id, win_idx""".stripMargin,
+    "t_stats" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |                           x -> len(x) > 0))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_uniq,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |                           x -> len(x) > 0))) * 1000
+        |       // count(*) AS BIGINT) AS tokens_per_doc_milli
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
     "t_mix" ->
       """WITH d AS (
         |  SELECT CAST(doc_id AS BIGINT) AS id, lang AS stratum,

@@ -648,6 +648,26 @@ object TextOps {
     segs
   }
 
+  /** Corpus data card — the per-(dims…) rollup every corpus release
+    * ships: document/token/char counts, distinct-content count, and
+    * integer milli tokens-per-doc. `dims` is any grouping column list
+    * (source, lang, …).
+    *
+    * Scale shape: one map-side-combined groupBy; the distinct-content
+    * count runs on the 64-bit content hash so the exchange carries
+    * (dims, 8 bytes) — document text never shuffles (the same
+    * hash≡text-identity convention as [[graft.ops.Dedup.exact]]).
+    * countDistinct is Spark's built-in two-phase distinct aggregate. */
+  def corpusStats(df: DataFrame, textCol: String,
+                  dims: Seq[String]): DataFrame =
+    df.groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        countDistinct(xxhash64(col(textCol))).as("n_uniq"))
+      .withColumn("tokens_per_doc_milli",
+        expr("CAST(n_tokens * 1000 DIV n_docs AS BIGINT)"))
+
   /** Data-mixing epoch assignment — turn per-stratum token BUDGETS into
     * per-document repetition factors (the Pile/LLaMA-style mix recipe:
     * "2.4 epochs of wiki, 0.7 of web"). For each stratum with a budget:

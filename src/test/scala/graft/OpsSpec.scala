@@ -820,6 +820,20 @@ class OpsSpec extends AnyFunSuite {
     assert(byChunk(0L) == 5 && byChunk(1L) == 5 && byChunk(2L) == 1)
   }
 
+  test("corpusStats rolls up docs/tokens/chars/distinct per dims") {
+    val docs = Seq(
+      (1L, "a b c", "s1", "en"), (2L, "a b c", "s1", "en"),
+      (3L, "d e", "s1", "de"), (4L, "f", "s2", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val out = TextOps.corpusStats(docs, "text", Seq("source", "lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(out(("s1", "en")) == ((2L, 6L, 10L, 1L, 3000L))) // dup text -> 1 uniq
+    assert(out(("s1", "de")) == ((1L, 2L, 3L, 1L, 2000L)))
+    assert(out(("s2", "en")) == ((1L, 1L, 1L, 1L, 1000L)))
+  }
+
   test("packInterleaved counts media spans as one position each") {
     import graft.core.Span
     // doc 1: 3 text tokens + 2 media = 5 positions (fills chunk 0 at L=5);
