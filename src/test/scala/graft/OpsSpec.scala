@@ -877,6 +877,23 @@ class OpsSpec extends AnyFunSuite {
     Seq(1L, 2L, 3L).foreach(id => assert(out(id)._3 == draw(id, out(id)._1)))
   }
 
+  test("packSequences output is invariant to input partitioning") {
+    // the distributed prefix sum must produce identical global offsets
+    // at ANY parallelism (the cluster-portability property: a 1000-
+    // executor layout and local[4] disagree on partition boundaries,
+    // never on results)
+    val docs = (1L to 200L).map(i =>
+      (i, ("tok " * (1 + (i % 17).toInt)).trim)).toDF("doc_id", "text")
+    def run(parts: Int) =
+      TextOps.packSequences(spark, docs.repartition(parts), "doc_id",
+          "text", 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+    val ref = run(1)
+    assert(run(3) == ref)
+    assert(run(13) == ref)
+  }
+
   test("bpeEncode reproduces the trainer's final symbol table") {
     val docs = Seq((1L, "low lower lowest low low newer new"),
       (2L, "low lower newer newer wider")).toDF("doc_id", "text")
