@@ -188,6 +188,47 @@ object Bench {
       }
       results += ("spans_strip" -> stripRuns.min)
       spansTiled.unpersist()
+
+      // five-stage curation recipe over the SAME tiled corpus — its
+      // exchanges (gram explode in the decontamination, verdict
+      // semi-joins, source-cap window, dedup hash groupBy) are the
+      // curation-axis scaling story. Bench slice = every 101st doc.
+      val curateDocs = {
+        import org.apache.spark.sql.functions.{pmod, lit, length}
+        tiled.select(col("id"), col("text"),
+          pmod(col("id"), lit(3)).cast("string").as("stratum"),
+          pmod(col("id"), lit(997)).cast("string").as("source"),
+          length(col("text")).cast("long").as("ord"))
+      }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      curateDocs.count() // synthesis outside the clock
+      val curateBench = curateDocs
+        .filter(org.apache.spark.sql.functions.pmod(col("id"),
+          org.apache.spark.sql.functions.lit(101)) === 0)
+        .select(col("id"), col("text")).limit(2000)
+      val curateRuns = (1 to 2).map { _ =>
+        time {
+          graft.ops.TextOps.curateCorpus(spark, curateDocs, "id", "text",
+            "stratum", "source", "ord", curateBench, 5000,
+            Map("0" -> 0.5, "1" -> 0.25), 0.1, "bench").count()
+        }._1
+      }
+      results += ("curate_tile" -> curateRuns.min)
+      curateDocs.unpersist()
+
+      // sequence packing over the tile: the range exchange + prefix-sum
+      // collect + narrow segment emission at tile volume
+      val packRuns = (1 to 2).map { _ =>
+        val (sec, segs) = time {
+          val s = graft.ops.TextOps.packSequences(spark, tiled, "id",
+            "text", 2048)
+          s.count()
+          s
+        }
+        segs.unpersist(false)
+        sec
+      }
+      results += ("pack_tile" -> packRuns.min)
       tiled.unpersist()
     }
 
