@@ -552,6 +552,22 @@ object SparkEntry {
       Dedup.dedupAgainst(s, prior, docs, "doc_id", "text")
         .orderBy("id")
     }),
+    // Snapshot diff between two corpus versions — churn-only output
+    // (added / removed / changed), id+hash exchange, text never shuffles.
+    // Prior = all docs; current drops id%11==3, rewrites id%7==0, and
+    // adds +1M-offset copies of id%5==0.
+    "t_corpus_diff" -> ((s, dir) => {
+      val docs = QueryLib.documents(s, dir)
+      val id = col("doc_id").cast("long")
+      val prior = docs.select(id.as("id"), col("text"))
+      val current = docs.filter(id % 11 =!= 3)
+        .select(id.as("id"),
+          when(id % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(id % 5 === 0)
+          .select((id + 1000000L).as("id"), col("text")))
+      Dedup.corpusDiff(prior, current, "id", "text").orderBy("id")
+    }),
     // End-to-end corpus dedup (exact collapse -> star LSH -> connected
     // components -> survivor), exact-verified so the oracle is the
     // ground-truth jaccard>=0.8 graph: exhaustive shingle-jaccard pairs +
@@ -724,25 +740,28 @@ object SparkEntry {
     // expression chain over deterministically synthesized messy URLs
     "t_url_canon" -> ((s, dir) => {
       val id = col("doc_id").cast("long")
-      val url = concat(
-        when(id % 3 === 0, "HTTP").otherwise("https"), lit("://"),
-        when(id % 2 === 0, "WWW.").otherwise(""),
-        lit("site"), (id % 7).cast("string"),
-        when(id % 3 === 0, ".example.co.uk").otherwise(".example.com"),
-        when(id % 5 === 0, when(id % 3 === 0, ":80").otherwise(":443"))
-          .when(id % 5 === 1, ":8080").otherwise(""),
-        lit("/Path"), (id % 50).cast("string"),
-        when(id % 4 === 0, "/").otherwise(""),
-        when(id % 2 === 0, "?utm_source=feed&b=2&a=1")
-          .when(id % 11 === 0, "?z=9").otherwise(""),
-        when(id % 6 === 0, concat(lit("#sec"), id.cast("string"))).otherwise(""))
       val host = graft.ops.UrlOps.hostOf(col("url"))
       QueryLib.documents(s, dir)
-        .select(id.as("doc_id"), url.as("url"))
+        .select(id.as("doc_id"), messyUrl(id).as("url"))
         .select(col("doc_id"),
           graft.ops.UrlOps.canonicalizeUrl(col("url")).as("canon"),
           host.as("host"),
           graft.ops.UrlOps.registrableDomain(host).as("domain"))
+        .orderBy("doc_id")
+    }),
+    // crawl blocklist filter over the same messy-URL corpus: one exact
+    // host rule (misses the :8080 variants — ports are part of the host
+    // key), one registrable-domain rule (port-insensitive), two path/query
+    // regexes, first-match-wins — all one codegen'd scan predicate
+    "t_url_filter" -> ((s, dir) => {
+      val id = col("doc_id").cast("long")
+      QueryLib.documents(s, dir)
+        .select(id.as("doc_id"), messyUrl(id).as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.ops.UrlOps.urlFilter(col("url"),
+            blockedHosts = Seq("site2.example.com"),
+            blockedDomains = Seq("example.co.uk"),
+            blockedPatterns = Seq("""\?.*z=9""", "/Path2[0-9]")).as("verdict"))
         .orderBy("doc_id")
     }),
     // per-canonical-URL first-seen dedup (the crawl frontier collapse):
@@ -939,6 +958,20 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextOps.bpeEncode(s, docs, "text", merges).orderBy("word")
     }),
+    // BPE DECODE as the full per-document roundtrip: encode every
+    // normalized word with the trained merges, decode the pieces back.
+    // decoded must equal the normalized token stream (decode∘encode is
+    // the identity — losslessness), and n_pieces pins that the merges
+    // actually applied (the oracle recomputes it from an independent
+    // replay of the training rewrite, so an unapplied or misordered
+    // merge fold shows up as a count mismatch).
+    "t_bpe_roundtrip" -> ((s, dir) => {
+      val docs = QueryLib.documents(s, dir)
+      val merges = TextOps.bpeMerges(s, docs, "text", 12)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeRoundtrip(docs, "doc_id", "text", merges).orderBy("doc_id")
+    }),
     "t_quality" -> ((s, dir) => {
       val cols = TextOps.qualityColumns(col("text"))
         .map { case (n, c) => c.as(n) }
@@ -1085,6 +1118,13 @@ object SparkEntry {
           "vec_id", "embedding", 0.999)
         .orderBy("removed_id")
     }),
+    // symmetric int8 vector quantization (the compression step before an
+    // embedding corpus rides a shuffle / lands in the ANN index):
+    // integer outputs so the oracle replays the identical float32→double
+    // widening and ties-away-from-zero rounding
+    "e_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(QueryLib.embeddings(s, dir),
+        "vec_id", "embedding").orderBy("id")),
 
     // ---- multimodal ---------------------------------------------------
     // EXIF roundtrip: JPEG APP1 IFD + SOF dims → ImageIngestor metadata
@@ -1354,6 +1394,23 @@ object SparkEntry {
     * each w_i is consumed by BOTH p_{i+1} and w_{i+1}, so an inlining
     * planner expands the chain into a 2^K-leaf tree — measured 478 s vs
     * 0.8 s at sf0.001 in DuckDB. */
+  /** Deterministically messy URL per doc id — shared by t_url_canon and
+    * t_url_filter (scheme/www/port/path/query/fragment variants keyed on
+    * id residues; the oracle rebuilds the identical string in SQL). */
+  private def messyUrl(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = concat(
+    when(id % 3 === 0, "HTTP").otherwise("https"), lit("://"),
+    when(id % 2 === 0, "WWW.").otherwise(""),
+    lit("site"), (id % 7).cast("string"),
+    when(id % 3 === 0, ".example.co.uk").otherwise(".example.com"),
+    when(id % 5 === 0, when(id % 3 === 0, ":80").otherwise(":443"))
+      .when(id % 5 === 1, ":8080").otherwise(""),
+    lit("/Path"), (id % 50).cast("string"),
+    when(id % 4 === 0, "/").otherwise(""),
+    when(id % 2 === 0, "?utm_source=feed&b=2&a=1")
+      .when(id % 11 === 0, "?z=9").otherwise(""),
+    when(id % 6 === 0, concat(lit("#sec"), id.cast("string"))).otherwise(""))
+
   private def bpeCtes(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
@@ -1607,6 +1664,17 @@ object SparkEntry {
         |SELECT CAST(d.doc_id AS BIGINT) AS id, p.text IS NOT NULL AS is_dup
         |FROM documents d LEFT JOIN p ON d.text = p.text
         |ORDER BY id""".stripMargin,
+    "t_corpus_diff" ->
+      """SELECT id, status FROM (
+        |  SELECT CAST(doc_id AS BIGINT) + 1000000 AS id, 'added' AS status
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT), 'removed'
+        |  FROM documents WHERE doc_id % 11 = 3
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT), 'changed'
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 <> 3
+        |) ORDER BY id""".stripMargin,
     "t_token_count" ->
       """SELECT doc_id,
         |       CAST(len(list_filter(string_split_regex(text, '\s+'),
@@ -1900,6 +1968,53 @@ object SparkEntry {
         |         'com.cn', 'com.tw', 'com.sg', 'com.hk')
         |         THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
         |       ELSE labels[-2] || '.' || labels[-1] END AS domain
+        |FROM e ORDER BY doc_id""".stripMargin,
+    "t_url_filter" ->
+      """WITH u AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    'site' || (doc_id % 7) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '.example.co.uk' ELSE '.example.com' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN
+        |            (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
+        |          WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) ||
+        |    '/Path' || (doc_id % 50) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+        |          WHEN doc_id % 11 = 0 THEN '?z=9' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '#sec' || doc_id ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]+)', 1)),
+        |      '^www\.', '') AS hostport
+        |  FROM u),
+        |d AS (
+        |  SELECT id, url,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         ELSE hostport END AS host
+        |  FROM c),
+        |e AS (
+        |  SELECT id, url, host,
+        |         string_split(regexp_replace(host, ':[0-9]+$', ''), '.') AS labels,
+        |         regexp_replace(host, ':[0-9]+$', '') AS bare
+        |  FROM d)
+        |SELECT id AS doc_id, url,
+        |  CASE WHEN host = 'site2.example.com' THEN 'blocked:host'
+        |       WHEN (CASE WHEN len(labels) <= 2 THEN bare
+        |             WHEN (labels[-2] || '.' || labels[-1]) IN ('co.uk', 'org.uk',
+        |               'ac.uk', 'gov.uk', 'co.jp', 'co.in', 'co.nz', 'co.za',
+        |               'co.kr', 'com.au', 'net.au', 'org.au', 'com.br', 'com.mx',
+        |               'com.cn', 'com.tw', 'com.sg', 'com.hk')
+        |               THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+        |             ELSE labels[-2] || '.' || labels[-1] END) = 'example.co.uk'
+        |         THEN 'blocked:domain'
+        |       WHEN regexp_matches(url, '\?.*z=9') THEN 'blocked:pattern0'
+        |       WHEN regexp_matches(url, '/Path2[0-9]') THEN 'blocked:pattern1'
+        |       ELSE 'ok' END AS verdict
         |FROM e ORDER BY doc_id""".stripMargin,
     "t_url_dedup" ->
       """WITH u AS (
@@ -2221,6 +2336,31 @@ object SparkEntry {
         |SELECT replace(replace(sym, ' ', ''), '</w>', '') AS word,
         |       sym AS pieces, CAST(c AS BIGINT) AS n
         |FROM w12 ORDER BY word""".stripMargin),
+    "t_bpe_roundtrip" -> (bpeCtes(12) +
+      """,
+        |vocab AS MATERIALIZED (
+        |  SELECT replace(replace(sym, ' ', ''), '</w>', '') AS w,
+        |         CAST(len(string_split(sym, ' ')) AS BIGINT) AS np
+        |  FROM w12),
+        |dw AS (
+        |  SELECT doc_id, unnest(list_filter(list_transform(
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0),
+        |    x -> lower(x)), x -> regexp_matches(x, '^[a-z]+$'))) AS w
+        |  FROM documents),
+        |np AS (
+        |  SELECT dw.doc_id, sum(vocab.np) AS n_pieces
+        |  FROM dw JOIN vocab ON dw.w = vocab.w GROUP BY dw.doc_id),
+        |dec AS (
+        |  SELECT doc_id, array_to_string(list_filter(list_transform(
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0),
+        |    x -> lower(x)), x -> regexp_matches(x, '^[a-z]+$')), ' ') AS decoded
+        |  FROM documents)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, dec.decoded,
+        |       CAST(coalesce(np.n_pieces, 0) AS BIGINT) AS n_pieces
+        |FROM documents d
+        |JOIN dec ON d.doc_id = dec.doc_id
+        |LEFT JOIN np ON d.doc_id = np.doc_id
+        |ORDER BY doc_id""".stripMargin),
     "t_quality" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -2319,6 +2459,19 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT vec_id + 2000000 FROM embeddings
         |) ORDER BY removed_id""".stripMargin,
+    "e_quantize" ->
+      """WITH t AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs
+        |  FROM t)
+        |SELECT id, CAST(round(maxabs * 1e6) AS BIGINT) AS scale_micros,
+        |       array_to_string(list_transform(v, x ->
+        |         CAST(CAST(CASE WHEN maxabs = 0 THEN 0
+        |           ELSE round(x * 127 / maxabs) END AS BIGINT) AS VARCHAR)), ' ') AS q
+        |FROM m ORDER BY id""".stripMargin,
     "e_embed_dups" ->
       """SELECT id_a, id_b FROM (
         |  SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings

@@ -26,6 +26,32 @@ object Similarity {
   def cosineCol(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.cosine_sim(a, b)
 
+  /** Symmetric per-vector int8 quantization — the compression step an
+    * embedding store runs before vectors ride a shuffle or land in the
+    * ANN index (the same scalar-quantize shape [[ivfPqTopK]]'s PQ codes
+    * refine): per vector, scale = max|x|/127 and q_i = round(x_i/scale)
+    * ∈ [-127, 127]. Output (id, scale_micros, q) with q as the
+    * space-joined int string and scale_micros = round(1e6·max|x|) —
+    * integer outputs so a DuckDB oracle replays the arithmetic exactly
+    * (both engines evaluate the same float32→double widening and
+    * ties-away-from-zero rounding).
+    *
+    * Scale shape: one narrow codegen'd pass — max|x| is computed once per
+    * row as its own column (NOT inlined per element, which would be
+    * O(d²)); nothing shuffles. At 100 TB the quantized corpus is ~4× the
+    * id volume instead of 4·d bytes/vec. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol).cast("long").as("id"), v.as("v"))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .select(col("id"),
+        round(col("maxabs") * 1e6).cast("long").as("scale_micros"),
+        array_join(transform(col("v"), x =>
+          when(col("maxabs") === 0d, lit(0L))
+            .otherwise(round(x * 127d / col("maxabs")).cast("long"))
+            .cast("string")), " ").as("q"))
+  }
+
   /** Exact top-k neighbors for each query id. Output
     * (qid, rank, cid, sim_r6) with rank 1..k by (sim desc, cid asc), sim
     * rounded to 6 decimals for engine-portable determinism. */

@@ -566,14 +566,56 @@ object TextOps {
       .select(lower(col("w")).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-    val sym0 = concat(trim(regexp_replace(col("w"), "(.)", "$1 ")),
-      lit(" </w>"))
-    val pieces = merges.foldLeft(sym0) { case (c, (l, r)) =>
+    words.select(col("w").as("word"), mergeFold(col("w"), merges).as("pieces"),
+      col("n").cast("long").as("n"))
+  }
+
+  /** `word` → its space-joined BPE pieces ending in `</w>`: the initial
+    * char-split symbol string rewritten by each merge in order (the same
+    * single-pass space-bounded literal replace the trainer uses). Shared
+    * by [[bpeEncode]] (vocab-table form) and [[bpeRoundtrip]] (per-doc
+    * form); pure codegen'd expression chain either way. */
+  private def mergeFold(word: Column, merges: Seq[(String, String)]): Column = {
+    val sym0 = concat(trim(regexp_replace(word, "(.)", "$1 ")), lit(" </w>"))
+    merges.foldLeft(sym0) { case (c, (l, r)) =>
       trim(org.apache.spark.sql.functions.replace(
         concat(lit(" "), c, lit(" ")), lit(s" $l $r "), lit(s" $l$r ")))
     }
-    words.select(col("w").as("word"), pieces.as("pieces"),
-      col("n").cast("long").as("n"))
+  }
+
+  /** BPE DECODE, exercised as the full per-document roundtrip a training
+    * loader runs in reverse: normalize each document to its in-vocab word
+    * sequence, encode every word with the trained merge table
+    * ([[mergeFold]]), then decode the piece sequences back to text
+    * (strip the intra-word joins, map `</w>` to a word boundary).
+    * Output per document: the decoded text — which must equal the
+    * normalized input exactly (BPE merging only regroups characters, so
+    * decode∘encode is the identity on the normalized stream; the oracle
+    * pins that identity) — and `n_pieces`, the total subword count after
+    * the merges (pinning that the merges actually applied, since an
+    * unmerged char-split would inflate it).
+    *
+    * Scale shape: the merge table is a driver-side broadcast-sized
+    * artifact folded into ONE narrow codegen'd expression chain
+    * (transform-lambda over the token array); no join, no shuffle —
+    * decode cost at 100 TB is the scan. */
+  def bpeRoundtrip(df: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    merges.foreach { case (l, r) =>
+      require((l + r).matches("[a-z</>]+"), s"unsafe merge symbol: '$l','$r'")
+    }
+    val words = filter(transform(tokenize(col(textCol)), w => lower(w)),
+      w => w.rlike("^[a-z]+$"))
+    val pieces = transform(words, w => mergeFold(w, merges))
+    val decodedWords = transform(pieces,
+      p => org.apache.spark.sql.functions.replace(
+        org.apache.spark.sql.functions.replace(p, lit(" "), lit("")),
+        lit("</w>"), lit("")))
+    val nPieces = aggregate(pieces, lit(0L),
+      (acc, p) => acc + size(split(p, " ")))
+    df.select(col(idCol).cast("long").as("doc_id"),
+      array_join(decodedWords, " ").as("decoded"),
+      nPieces.as("n_pieces"))
   }
 
   /** Sequence packing — map every document's token span into fixed-length

@@ -942,4 +942,64 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size <= 6)      // 3 per source max
     assert(out.subsetOf((1L to 30L).toSet))
   }
+
+  test("corpusDiff emits churn only, with exact statuses") {
+    val prior = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "text")
+    val current = Seq((2L, "b"), (3L, "c CHANGED"), (4L, "d"), (5L, "e"))
+      .toDF("id", "text")
+    val out = Dedup.corpusDiff(prior, current, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 3L -> "changed", 5L -> "added"))
+  }
+
+  test("bpeRoundtrip: decode∘encode is identity; merges shrink n_pieces") {
+    val docs = Seq((1L, "low lower lowest low"), (2L, "NOPE 123 !!"),
+      (3L, "low low")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"))
+    val out = TextOps.bpeRoundtrip(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 == "low lower lowest low")
+    // "low</w>"=1 piece, "low e r </w>"=4, "low e s t </w>"=5, "low</w>"=1
+    assert(out(1L)._2 == 11L)
+    // "NOPE" lowercases into vocab (5 unmerged pieces); digits/punct drop
+    assert(out(2L) == (("nope", 5L)))
+    assert(out(3L) == (("low low", 2L)))
+    // without merges the same docs char-split: "l o w </w>" = 4 pieces each
+    val un = TextOps.bpeRoundtrip(docs, "doc_id", "text", Nil)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(un(3L) == 8L)
+  }
+
+  test("urlFilter: first-match-wins across host/domain/pattern rules") {
+    val urls = Seq(
+      (1L, "https://site2.example.com/Path1"),         // host rule
+      (2L, "https://site2.example.com:8080/Path1"),    // port ≠ host rule; ok
+      (3L, "http://www.site4.example.co.uk:80/x"),     // domain rule
+      (4L, "https://site1.example.com/a?z=9"),         // pattern0
+      (5L, "https://site1.example.com/Path25"),        // pattern1
+      (6L, "https://site2.example.com/a?z=9"),         // host beats pattern
+      (7L, "https://site1.example.com/Path3")          // ok
+    ).toDF("id", "url")
+    val out = urls.select($"id", graft.ops.UrlOps.urlFilter($"url",
+        Seq("site2.example.com"), Seq("example.co.uk"),
+        Seq("""\?.*z=9""", "/Path2[0-9]")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "blocked:host", 2L -> "ok",
+      3L -> "blocked:domain", 4L -> "blocked:pattern0",
+      5L -> "blocked:pattern1", 6L -> "blocked:host", 7L -> "ok"))
+  }
+
+  test("quantizeInt8: extremes hit ±127, zero vector stays zero") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(-2.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) == ((1000000L, "127 -64 32 0")))
+    assert(out(2L) == ((0L, "0 0")))
+    assert(out(3L) == ((2000000L, "-127 64")))
+  }
 }
