@@ -764,6 +764,41 @@ object SparkEntry {
             blockedPatterns = Seq("""\?.*z=9""", "/Path2[0-9]")).as("verdict"))
         .orderBy("doc_id")
     }),
+    // robots.txt admission filter (RFC 9309): per-host robots — even
+    // sites carry a graftbot-specific group (so their '*' disallow-all
+    // must be IGNORED for graftbot: group selection), odd sites only a
+    // '*' group with a $-anchored rule and a mid-pattern wildcard —
+    // applied over the messy-URL corpus via broadcast join with a
+    // per-partition parse cache
+    "t_robots" -> ((s, dir) => {
+      import s.implicits._
+      val robotsA =
+        """User-agent: graftbot
+          |Disallow: /Path1
+          |Allow: /Path12
+          |User-agent: *
+          |Disallow: /
+          |""".stripMargin
+      val robotsB =
+        """User-agent: otherbot
+          |Disallow: /
+          |User-agent: *
+          |Disallow: /Path3$
+          |Disallow: /Path4*7
+          |""".stripMargin
+      val robots = (0 until 7).flatMap { k =>
+        val txt = if (k % 2 == 0) robotsA else robotsB
+        for (dom <- Seq(".example.com", ".example.co.uk");
+             port <- Seq("", ":8080"))
+          yield (s"site$k$dom$port", txt)
+      }.toDF("host", "robots_txt")
+      val id = col("doc_id").cast("long")
+      val urls = QueryLib.documents(s, dir)
+        .select(id.as("doc_id"), messyUrl(id).as("url"))
+      graft.ops.UrlOps.robotsFilter(urls, "url", robots,
+          "host", "robots_txt", "graftbot")
+        .orderBy("doc_id")
+    }),
     // per-canonical-URL first-seen dedup (the crawl frontier collapse):
     // 25 planted canonical groups, winner = min doc_id, dup count checked
     // against a hand-written expected canonical (independent derivation,
@@ -789,6 +824,14 @@ object SparkEntry {
             .as("window_start"),
           col("event_type"), col("n"), col("value_cents"))
         .orderBy("window_start", "event_type")
+    }),
+    // gap-based sessionization (30-min timeout) over the events table —
+    // one lag-window exchange on user_id, the session groupBy reuses it
+    // (single-shuffle plan); integer micros/cents end-to-end
+    "m_sessionize" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.streaming.StreamingIngest.sessionize(ev, gapSecs = 1800L)
+        .orderBy("user_id", "session_seq")
     }),
     // fixed-iteration PageRank (10 rounds, damping 0.85) over a
     // deterministic crawl-graph shape (ring + doubling + hub edges per
@@ -2016,6 +2059,26 @@ object SparkEntry {
         |       WHEN regexp_matches(url, '/Path2[0-9]') THEN 'blocked:pattern1'
         |       ELSE 'ok' END AS verdict
         |FROM e ORDER BY doc_id""".stripMargin,
+    "t_robots" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+        |  'site' || (doc_id % 7) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN '.example.co.uk' ELSE '.example.com' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN
+        |          (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
+        |        WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) ||
+        |  '/Path' || (doc_id % 50) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+        |        WHEN doc_id % 11 = 0 THEN '?z=9' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 6 = 0 THEN '#sec' || doc_id ELSE '' END) AS url,
+        |  CASE WHEN (doc_id % 7) % 2 = 0 THEN
+        |    NOT (doc_id % 50 IN (1,10,11,13,14,15,16,17,18,19))
+        |  ELSE
+        |    NOT ((doc_id % 50 = 3 AND doc_id % 11 <> 0) OR doc_id % 50 = 47)
+        |  END AS allowed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t_url_dedup" ->
       """WITH u AS (
         |  SELECT CAST(doc_id AS BIGINT) AS id,
@@ -2033,6 +2096,28 @@ object SparkEntry {
         |       CAST(w.n_dups AS BIGINT) AS n_dups
         |FROM c JOIN w ON c.canon_url = w.canon_url AND c.id = w.id
         |ORDER BY c.canon_url""".stripMargin,
+    "m_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |         lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM m)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |       min(event_id) AS start_id,
+        |       count(*) AS n_events,
+        |       max(us) - min(us) AS dur_us,
+        |       CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
     "m_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |         AS window_start,

@@ -201,4 +201,43 @@ object StreamingIngest {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("value_cents"))
   }
+
+  /** Gap-based sessionization over an event log — the canonical
+    * event-stream rollup: a session is a maximal run of one user's
+    * events with inter-event gaps ≤ `gapSecs`. One row per session:
+    * (user_id, session_seq, start_id, n_events, dur_us, value_cents) —
+    * integer microsecond/cent arithmetic end-to-end (same `floor(x+0.5)`
+    * cents convention as [[windowedMetrics]]) so a DuckDB window oracle
+    * reproduces the rows exactly.
+    *
+    * Scale shape: exactly ONE exchange — the lag window hashes on
+    * user_id, and the session groupBy's clustering keys (user_id,
+    * session_seq) are a superset of that partitioning, so Catalyst
+    * plans the final aggregate WITHOUT a second shuffle (PlanSpec
+    * asserts the single-exchange plan). Skew honesty: a single user's
+    * events land in one task — at 100 TB a bot user needs a pre-split
+    * (salt user_id by day) before this op; normal web traffic is fine.
+    * The streaming analogue is flatMapGroupsWithState keyed by user
+    * with a session timeout — this batch window expresses the same
+    * accumulation declaratively. */
+  def sessionize(events: DataFrame, gapSecs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val marked = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          col("us") - col("prev") > gapSecs * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("event_id")).as("start_id"),
+        count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("dur_us"),
+        sum(col("cents")).as("value_cents"))
+  }
 }

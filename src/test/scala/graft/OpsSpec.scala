@@ -990,6 +990,73 @@ class OpsSpec extends AnyFunSuite {
       5L -> "blocked:pattern1", 6L -> "blocked:host", 7L -> "ok"))
   }
 
+  test("sessionize: gap splits, singleton sessions, exact cents/durations") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(s: Long) = new java.sql.Timestamp(t0 + s * 1000)
+    val ev = Seq(
+      (1L, ts(0), 7L, "a", 1.25),     // user 7, session 1
+      (2L, ts(60), 7L, "b", 2.0),     // gap 60 ≤ 1800 → same session
+      (3L, ts(1862), 7L, "c", 0.75),  // gap 1802 > 1800 → session 2
+      (4L, ts(10), 8L, "d", 5.0)      // other user
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.streaming.StreamingIngest.sessionize(ev, 1800L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out == Map(
+      (7L, 1L) -> ((1L, 2L, 60000000L, 325L)),
+      (7L, 2L) -> ((3L, 1L, 0L, 75L)),
+      (8L, 1L) -> ((4L, 1L, 0L, 500L))))
+  }
+
+  test("robots.txt: RFC 9309 parse, group selection, precedence, anchors") {
+    import graft.ops.RobotsTxt
+    val txt =
+      """# comment
+        |User-agent: alpha
+        |User-agent: beta
+        |Disallow: /private
+        |Allow: /private/ok
+        |Sitemap: https://x/sitemap.xml
+        |User-agent: *
+        |Disallow: /tmp*x$
+        |Disallow:
+        |""".stripMargin
+    val g = RobotsTxt.parse(txt)
+    assert(g.map(_.agents) == Seq(Seq("alpha", "beta"), Seq("*")))
+    // consecutive UA lines share rules; longest-match + allow tie rules
+    assert(!RobotsTxt.allowed(txt, "Beta/2.0", "https://h/private/z"))
+    assert(RobotsTxt.allowed(txt, "beta", "https://h/private/ok/z"))
+    assert(RobotsTxt.allowed(txt, "alpha", "https://h/anything"))
+    // unknown agent falls to *: $-anchored wildcard; empty Disallow no-op
+    assert(!RobotsTxt.allowed(txt, "gamma", "https://h/tmp/deep/x"))
+    assert(RobotsTxt.allowed(txt, "gamma", "https://h/tmp/deep/x/more"))
+    assert(RobotsTxt.allowed(txt, "gamma", "https://h/private"))
+    // no robots at all → allowed; agent token cut at '/'
+    assert(RobotsTxt.allowed("", "any", "https://h/x"))
+    // equal-length allow/disallow tie → allow wins
+    val tie = "User-agent: *\nDisallow: /abc\nAllow: /ab*\n"
+    assert(RobotsTxt.allowed(tie, "x", "https://h/abc"))
+    // pathQueryOf: query without path, fragment stripped, bare host
+    assert(RobotsTxt.pathQueryOf("https://h?q=1#f") == "/?q=1")
+    assert(RobotsTxt.pathQueryOf("https://h") == "/")
+    assert(RobotsTxt.pathQueryOf("https://h/a/b?c=2#frag") == "/a/b?c=2")
+  }
+
+  test("robotsFilter: broadcast host join, missing robots allows") {
+    val urls = Seq(
+      (1L, "https://a.com/private/x"),
+      (2L, "https://a.com/pub"),
+      (3L, "https://unknown.com/private/x")
+    ).toDF("id", "url")
+    val robots = Seq(("a.com", "User-agent: *\nDisallow: /private\n"))
+      .toDF("host", "robots_txt")
+    val out = graft.ops.UrlOps.robotsFilter(urls, "url", robots,
+        "host", "robots_txt", "graftbot")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true))
+  }
+
   test("quantizeInt8: extremes hit ±127, zero vector stays zero") {
     val vecs = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),

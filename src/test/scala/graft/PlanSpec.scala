@@ -66,6 +66,50 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Sample"), plan.take(1500)) // hash predicate, not sample()
   }
 
+  test("sessionize: the window exchange is the ONLY shuffle (agg reuses it)") {
+    assume(new java.io.File(s"$sfDir/events.parquet").exists)
+    val df = graft.streaming.StreamingIngest.sessionize(
+      spark.read.parquet(s"$sfDir/events.parquet"), 1800L)
+    val exchanges = planOf(df).linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toVector
+    assert(exchanges.size == 1, exchanges.mkString("\n"))
+    assert(exchanges.head.contains("user_id"), exchanges.head)
+  }
+
+  test("corpusDiff: exchanges carry id+hash only — text never shuffles") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.ops.Dedup.corpusDiff(docs, docs, "doc_id", "text")
+    val exchanges = planOf(df).linesIterator
+      .filter(_.contains("Exchange")).toVector
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(!_.contains("text")), exchanges.mkString("\n"))
+  }
+
+  test("quantizeInt8 is one narrow pass — no exchange, vector pruned to id+embedding") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists)
+    val df = graft.ops.Similarity.quantizeInt8(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding")
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), plan.take(1500))
+    val scan = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!scan.contains("label"), scan)
+  }
+
+  test("robotsFilter: robots side broadcasts, URL side never hash-exchanges") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    val urls = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), concat(lit("https://h"), col("doc_id") % 5,
+        lit(".com/p")).as("url"))
+    import spark.implicits._
+    val robots = Seq(("h1.com", "User-agent: *\nDisallow: /p\n"))
+      .toDF("host", "robots_txt")
+    val plan = planOf(graft.ops.UrlOps.robotsFilter(urls, "url", robots,
+      "host", "robots_txt", "bot"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+  }
+
   test("dedupCorpus plan has no cartesian/nested-loop join anywhere") {
     assume(new java.io.File(s"$sfDir/documents.parquet").exists)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
