@@ -249,6 +249,8 @@ object Bench {
         "t_strip_dupsub", "t_outlinks", "t_bm25", "t_pagerank", "t_lm_score",
         "t_dsir", "e_semdedup", "t_bpe", "t_bpe_encode", "t_curate", "t_pack",
         "t_dedup_incr",
+        "t_bpe_roundtrip", "t_corpus_diff", "t_url_filter", "t_robots",
+        "e_quantize", "m_sessionize", "t_anchors",
         "i_spans_strip", "i_spans_render",
         "s_ann_brute", "s_ann_lsh", "s_ann_ivf", "s_ann_ivfpq", "a_patterns",
         "a_thread_join", "m_events_window")

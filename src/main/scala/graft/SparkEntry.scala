@@ -901,6 +901,28 @@ object SparkEntry {
           graft.ops.UrlOps.canonicalizeUrl(col("dst")).as("dst"))
         .orderBy("doc_id", "dst")
     }),
+    // anchor-text corpus: per canonical link target, total references +
+    // dominant anchor (count desc, lexicographic tiebreak). The HTML
+    // parse + href resolution is the pinned surface; whitespace-collapse
+    // and the empty-anchor drop are observable (decoy <a>s)
+    "t_anchors" -> ((s, dir) => {
+      import s.implicits._
+      val pages = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val html =
+            s"""<html><body>
+               |<a href="/p${id % 10}">Label  ${id % 3}</a>
+               |<a href="/p${id % 10}">Label ${id % 3}</a>
+               |<a href="http://ext.example.org/q">Go</a>
+               |<a href="/skip">   </a>
+               |<a href="#frag">Nope</a>
+               |</body></html>""".stripMargin
+          (id, html, s"https://host${id % 4}.example.com/dir/page.html")
+        }.toDF("doc_id", "html", "page_url")
+      graft.ops.UrlOps.anchorTexts(s, pages, "doc_id", "html", "page_url")
+        .orderBy("dst")
+    }),
     // per-source quota: top-10 docs per source by size (window top-N)
     "t_domain_cap" -> ((s, dir) => {
       TextOps.capPerSource(QueryLib.documents(s, dir)
@@ -2248,6 +2270,25 @@ object SparkEntry {
         |       id AS doc_id,
         |       CAST(floor(smicro / 1000.0) AS BIGINT) AS score_milli
         |FROM scored ORDER BY smicro DESC, id LIMIT 20""".stripMargin,
+    "t_anchors" ->
+      """WITH d AS (
+        |  SELECT doc_id % 4 AS h, doc_id % 10 AS p, doc_id % 3 AS a
+        |  FROM documents),
+        |pa AS (SELECT h, p, a, 2 * count(*) AS c FROM d GROUP BY 1, 2, 3),
+        |tot AS (SELECT h, p, CAST(sum(c) AS BIGINT) AS n_refs
+        |        FROM pa GROUP BY 1, 2),
+        |top AS (SELECT h, p, a,
+        |          row_number() OVER (PARTITION BY h, p
+        |            ORDER BY c DESC, a ASC) AS rk
+        |        FROM pa)
+        |SELECT dst, top_anchor, n_refs FROM (
+        |  SELECT 'https://host' || t.h || '.example.com/p' || t.p AS dst,
+        |         'Label ' || top.a AS top_anchor, t.n_refs
+        |  FROM tot t JOIN top ON top.h = t.h AND top.p = t.p AND top.rk = 1
+        |  UNION ALL
+        |  SELECT 'http://ext.example.org/q', 'Go',
+        |         (SELECT CAST(count(*) AS BIGINT) FROM documents)
+        |) ORDER BY dst""".stripMargin,
     "t_outlinks" ->
       """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
         |e AS (

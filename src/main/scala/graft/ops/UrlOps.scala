@@ -226,6 +226,55 @@ object UrlOps {
     }(Encoders.row(outSchema))
   }
 
+  private def textOf(n: graft.extract.HtmlDom.HNode): String = n match {
+    case graft.extract.HtmlDom.HText(t) => t
+    case graft.extract.HtmlDom.HElem(_, _, ch) => ch.map(textOf).mkString
+  }
+
+  /** Anchor-text corpus builder — the web-graph signal an LLM pretraining
+    * set mines from crawl HTML (anchor text describes the TARGET page;
+    * cf. the anchor corpora of classic IR and the link-text datasets
+    * distilled from Common Crawl): DOM-walk every `<a href>`, resolve +
+    * canonicalize the target, and aggregate per target: total reference
+    * count and the dominant anchor string (most frequent; lexicographic
+    * tiebreak). Whitespace-collapsed, empty anchors dropped.
+    *
+    * Scale shape: the DOM walk is the same narrow flatMap as
+    * [[outlinks]] (HTML never shuffles); the aggregation exchanges
+    * (canonical dst, short anchor) pairs once for the count and reuses
+    * that partitioning for the per-dst window (dst ⊆ grouping keys ⇒ no
+    * second exchange). At 100 TB swap dst for its 64-bit hash in the
+    * exchange and join the string back from the winner set. */
+  def anchorTexts(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                  idCol: String, htmlCol: String, urlCol: String)
+      : DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val edges = df.select(col(idCol).cast("long"), col(htmlCol), col(urlCol))
+      .as[(Long, String, String)]
+      .flatMap { case (_, html, url) =>
+        graft.extract.HtmlDom.findAll(
+            graft.extract.HtmlDom.parse(if (html == null) "" else html), "a")
+          .flatMap { a =>
+            val text = textOf(a).trim.replaceAll("\\s+", " ")
+            if (text.isEmpty) None
+            else a.attrs.get("href").flatMap(h => resolveHref(url, h))
+              .map(dst => (dst, text))
+          }.toVector
+      }.toDF("dst0", "anchor")
+    val counts = edges
+      .select(canonicalizeUrl(col("dst0")).as("dst"), col("anchor"))
+      .groupBy("dst", "anchor").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("dst")
+    counts
+      .withColumn("rank", row_number().over(
+        w.orderBy(col("c").desc, col("anchor").asc)))
+      .withColumn("n_refs", sum(col("c")).over(w))
+      .filter(col("rank") === 1)
+      .select(col("dst"), col("anchor").as("top_anchor"),
+        col("n_refs").cast("long").as("n_refs"))
+  }
+
   /** Per-canonical-URL first-seen dedup: keeps the minimum `orderCol` row
     * per canonical URL and counts the collapsed duplicates — the crawl
     * frontier's "have I fetched this" collapse as a batch op. Exchange

@@ -240,4 +240,69 @@ object StreamingIngest {
         (max(col("us")) - min(col("us"))).as("dur_us"),
         sum(col("cents")).as("value_cents"))
   }
+
+  final case class SessEvent(user_id: Long, event_id: Long,
+                             ts: java.sql.Timestamp, value: Double)
+  final case class SessAcc(seq: Long, open: Boolean, startId: Long,
+                           firstUs: Long, lastUs: Long, n: Long, cents: Long)
+  final case class SessionOut(user_id: Long, session_seq: Long,
+                              start_id: Long, n_events: Long, dur_us: Long,
+                              value_cents: Long)
+
+  /** STREAMING sessionization — the stateful analogue of [[sessionize]]
+    * (same session/cents semantics): flatMapGroupsWithState keyed by
+    * user. A session emits when a later event for the same user arrives
+    * past the gap, or when the EVENT-TIME timeout fires (watermark passes
+    * lastEvent + gap) — so idle users' sessions close without waiting for
+    * their next visit, and state stays bounded by the number of
+    * currently-open sessions. Events later than the watermark may start
+    * a spurious new session (the standard watermark disorder contract —
+    * bound it with `watermarkDelay`). The per-user `seq` counter lives in
+    * state across sessions, so session_seq matches the batch op's
+    * numbering for in-order data. */
+  def sessionizeStream(spark: SparkSession,
+                       events: org.apache.spark.sql.Dataset[SessEvent],
+                       gapSecs: Long,
+                       watermarkDelay: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapSecs * 1000000L
+    def usOf(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    def centsOf(v: Double): Long = math.floor(v * 100 + 0.5).toLong
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessAcc, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[SessAcc]) =>
+          var st = state.getOption.getOrElse(SessAcc(0L, false, 0L, 0L, 0L, 0L, 0L))
+          val out = Vector.newBuilder[SessionOut]
+          def close(): Unit = {
+            out += SessionOut(user, st.seq, st.startId, st.n,
+              st.lastUs - st.firstUs, st.cents)
+            st = st.copy(open = false)
+          }
+          if (state.hasTimedOut) {
+            if (st.open) close()
+            state.update(st) // keep the seq counter for the user's return
+          } else {
+            // micro-batches deliver a group unordered — restore event order
+            val evs = rows.toVector.sortBy(e => (usOf(e.ts), e.event_id))
+            for (e <- evs) {
+              val u = usOf(e.ts)
+              if (st.open && u - st.lastUs > gapUs) close()
+              st =
+                if (!st.open)
+                  SessAcc(st.seq + 1, true, e.event_id, u, u, 1L, centsOf(e.value))
+                else st.copy(lastUs = u, n = st.n + 1,
+                  cents = st.cents + centsOf(e.value))
+            }
+            state.update(st)
+            if (st.open)
+              state.setTimeoutTimestamp(st.lastUs / 1000L + gapSecs * 1000L)
+          }
+          out.result().iterator
+      }
+  }
 }

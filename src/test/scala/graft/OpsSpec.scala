@@ -1057,6 +1057,20 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> false, 2L -> true, 3L -> true))
   }
 
+  test("anchorTexts: dominant anchor per target, whitespace collapse, decoys") {
+    val pages = Seq(
+      (1L, """<a href="/x">Buy   now</a><a href="/x">Buy now</a>
+             |<a href="/x">other</a><a href="/y">  </a>
+             |<a href="#f">Nope</a>""".stripMargin,
+        "https://A.com/d/p.html"),
+      (2L, """<a href="https://a.com/x">other</a>""", "https://b.com/")
+    ).toDF("id", "html", "url")
+    val out = graft.ops.UrlOps.anchorTexts(spark, pages, "id", "html", "url")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // "Buy now" (2, whitespace-collapsed) beats "other" (1+1 across pages)
+    assert(out == Map("https://a.com/x" -> (("Buy now", 4L))))
+  }
+
   test("quantizeInt8: extremes hit ±127, zero vector stays zero") {
     val vecs = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),

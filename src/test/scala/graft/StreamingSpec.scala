@@ -167,6 +167,37 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming sessionize: gap closes sessions, event-time timeout flushes idle ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{SessEvent, SessionOut}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val source = MemoryStream[SessEvent]
+    val out = graft.streaming.StreamingIngest.sessionizeStream(
+      spark, source.toDS(), gapSecs = 1800L, watermarkDelay = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    // batch 1: user 7's first session stays open — nothing emits
+    source.addData(SessEvent(7L, 1L, ts(0), 1.25), SessEvent(7L, 2L, ts(60), 2.0))
+    q.processAllAvailable()
+    def rows() = spark.sql("SELECT * FROM sess_out").as[SessionOut].collect().toSet
+    assert(rows().isEmpty)
+    // batch 2: an over-gap event closes session 1 and opens session 2
+    source.addData(SessEvent(7L, 3L, ts(3600), 0.75))
+    q.processAllAvailable()
+    assert(rows() == Set(SessionOut(7L, 1L, 1L, 2L, 60000000L, 325L)))
+    // batches 3+4: another user far in the future advances the watermark
+    // past 3600+1800 → user 7's open session flushes via the timeout
+    source.addData(SessEvent(8L, 4L, ts(10000), 5.0))
+    q.processAllAvailable()
+    source.addData(SessEvent(8L, 5L, ts(10001), 1.0))
+    q.processAllAvailable()
+    assert(rows().contains(SessionOut(7L, 2L, 3L, 1L, 0L, 75L)),
+      rows().toString)
+    q.stop()
+  }
+
   test("streaming content dedup: first seen wins across micro-batches") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
