@@ -108,4 +108,25 @@ class TotalitySpec extends AnyFunSuite {
       isTotal(Dispatch.ingest("f.bin", "", bytes).result)
     })
   }
+
+  test("robots.txt parse + evaluation are total on arbitrary text") {
+    import graft.ops.RobotsTxt
+    val lineGen: Gen[String] = Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(40)),
+      Gen.oneOf("User-agent", "user-AGENT", "Allow", "Disallow", "Sitemap",
+        "Crawl-delay", "junk").flatMap(k =>
+        Gen.asciiPrintableStr.map(v => s"$k: ${v.take(20)}")))
+    val txtGen: Gen[String] =
+      Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n, lineGen))
+        .map(_.mkString("\n"))
+    val urlGen: Gen[String] = Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(60)),
+      Gen.asciiPrintableStr.map(s => "https://h.com/" + s.take(40)))
+    check("robots", Prop.forAll(txtGen, urlGen) { (txt, url) =>
+      // never throws, always a definite verdict — patterns from the fuzz
+      // text include '*'/'$' runs, empty segments, colons in values
+      val v = RobotsTxt.allowed(txt, "fuzzbot/1.0", url)
+      v || !v
+    })
+  }
 }
