@@ -212,13 +212,39 @@ object Soak {
       graft.ops.Dedup.dedupAgainst(spark, prior, soakBodies, "id", "body")
         .filter($"is_dup").count()
     }
+    // RFC 9309 admission at corpus scale: per-body synthetic URLs over 64
+    // hosts, alternating robots policies — drives the broadcast join +
+    // per-partition parse cache through every distinct body
+    val robotsAllowed = phase("robots_filter") {
+      val robotsA = "User-agent: graftbot\nDisallow: /Path1\nAllow: /Path12\n" +
+        "User-agent: *\nDisallow: /\n"
+      val robotsB = "User-agent: otherbot\nDisallow: /\n" +
+        "User-agent: *\nDisallow: /Path3$\nDisallow: /Path4*7\n"
+      val robots = (0 until 64).map(k =>
+        (s"site$k.example.com", if (k % 2 == 0) robotsA else robotsB))
+        .toDF("host", "robots_txt")
+      val urls = soakBodies.select($"id",
+        concat(lit("https://site"), pmod($"id", lit(64)),
+          lit(".example.com/Path"), pmod($"id", lit(50))).as("url"))
+      graft.ops.UrlOps.robotsFilter(urls, "url", robots,
+        "host", "robots_txt", "graftbot").filter($"allowed").count()
+    }
+    // snapshot diff at corpus scale: full-outer id+hash join, churn-only
+    // output (removed every id%11==3, changed every id%7==0)
+    val diffRows = phase("corpus_diff") {
+      val cur = soakBodies.filter(pmod($"id", lit(11)) =!= 3)
+        .select($"id", when(pmod($"id", lit(7)) === 0,
+          concat($"body", lit(" v2"))).otherwise($"body").as("body"))
+      graft.ops.Dedup.corpusDiff(
+        soakBodies.select($"id", $"body"), cur, "id", "body").count()
+    }
     soakBodies.unpersist(false)
 
     val total = phases.values.sum
     val pipeSec = phases("pipeline_durable")
     val qs = phases.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"soak_total","value":$total%.3f,"unit":"sec","phases":$qs,"n_docs":$nDocs,"meta_rows":$metaCount,"dedup_rows":$dedupCount,"distinct_bodies":$distinctBodies,"neardup_pairs":$pairCount,"spans_kept":$stripCount,"dupsub_docs_touched":$dupsubCount,"pagerank_top_micro":$prTop,"curate_kept":$curateKept,"pack_chunks":$packChunks,"incr_dups":$incrDups,"docs_per_sec":${metaCount / math.max(pipeSec, 1e-9)}%.1f,"pending_partitions":$parts,"shuffle_partitions":${math.max(cpus.toInt * 2, 256)},"peak_heap_mib":${peakHeap / (1 << 20)},"cpus":$cpus}""")
+    println(f"""{"metric":"soak_total","value":$total%.3f,"unit":"sec","phases":$qs,"n_docs":$nDocs,"meta_rows":$metaCount,"dedup_rows":$dedupCount,"distinct_bodies":$distinctBodies,"neardup_pairs":$pairCount,"spans_kept":$stripCount,"dupsub_docs_touched":$dupsubCount,"pagerank_top_micro":$prTop,"curate_kept":$curateKept,"pack_chunks":$packChunks,"incr_dups":$incrDups,"robots_allowed":$robotsAllowed,"diff_rows":$diffRows,"docs_per_sec":${metaCount / math.max(pipeSec, 1e-9)}%.1f,"pending_partitions":$parts,"shuffle_partitions":${math.max(cpus.toInt * 2, 256)},"peak_heap_mib":${peakHeap / (1 << 20)},"cpus":$cpus}""")
     spark.stop()
   }
 }
