@@ -901,6 +901,15 @@ object SparkEntry {
           graft.ops.UrlOps.canonicalizeUrl(col("dst")).as("dst"))
         .orderBy("doc_id", "dst")
     }),
+    // deterministic train/val/test split (98/1/1): stable md5-threshold
+    // buckets — a doc's split never changes as the corpus grows, which is
+    // what keeps eval sets uncontaminated across dataset versions
+    "t_split" -> ((s, dir) =>
+      QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          TextOps.splitColumn(col("doc_id"), "graft", 0.98, 0.01)
+            .as("split"))
+        .orderBy("doc_id")),
     // anchor-text corpus: per canonical link target, total references +
     // dominant anchor (count desc, lexicographic tiebreak). The HTML
     // parse + href resolution is the pinned surface; whitespace-collapse
@@ -2270,6 +2279,14 @@ object SparkEntry {
         |       id AS doc_id,
         |       CAST(floor(smicro / 1000.0) AS BIGINT) AS score_milli
         |FROM scored ORDER BY smicro DESC, id LIMIT 20""".stripMargin,
+    "t_split" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 6)
+        |            < 'fae147' THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 6)
+        |            < 'fd70a3' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t_anchors" ->
       """WITH d AS (
         |  SELECT doc_id % 4 AS h, doc_id % 10 AS p, doc_id % 3 AS a

@@ -319,6 +319,25 @@ object TextOps {
     df.filter(keep)
   }
 
+  /** Deterministic train/val/test assignment — the split every dataset
+    * release needs, as a pure hash partition of the id space (same
+    * md5-threshold scheme as [[sampleKeep]], so the split is stable
+    * under repartitioning, re-runs, and corpus growth: a document's
+    * split never changes when other documents come or go, which is what
+    * keeps eval sets uncontaminated across dataset versions).
+    * `fracs` = (train, val) fractions; test = remainder. Narrow codegen'd
+    * expression; at 100 TB this is a scan predicate per output split. */
+  def splitColumn(id: Column, salt: String,
+                  trainFrac: Double, valFrac: Double): Column = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      "fractions must be non-negative and sum to at most 1")
+    def thr(f: Double) = f"${(f * (1L << 24)).toLong}%06x"
+    val bucket = substring(md5(concat(id.cast("string"), lit(salt))), 1, 6)
+    when(bucket < lit(thr(trainFrac)), "train")
+      .when(bucket < lit(thr(trainFrac + valFrac)), "val")
+      .otherwise("test")
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 "repetitious
     * text" filters, public): duplicate-line fraction, duplicate-trigram
     * fraction, and the most-frequent-bigram fraction, as integer

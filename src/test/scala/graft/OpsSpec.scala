@@ -990,6 +990,27 @@ class OpsSpec extends AnyFunSuite {
       5L -> "blocked:pattern1", 6L -> "blocked:host", 7L -> "ok"))
   }
 
+  test("splitColumn: partition is exhaustive, stable, and ~98/1/1") {
+    val ids = (0L until 20000L).toDF("id")
+    val out = ids.select($"id",
+        TextOps.splitColumn($"id", "graft", 0.98, 0.01).as("s"))
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("train", "val", "test"))
+    assert(out.values.sum == 20000L)
+    assert(out("train") > 19400 && out("train") < 19800, out.toString)
+    assert(out("val") > 100 && out("val") < 320, out.toString)
+    // stability: membership is per-id, independent of the rest of the set
+    val sub = (0L until 100L).toDF("id").select($"id",
+        TextOps.splitColumn($"id", "graft", 0.98, 0.01).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = ids.select($"id",
+        TextOps.splitColumn($"id", "graft", 0.98, 0.01).as("s"))
+      .filter($"id" < 100).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub == full)
+  }
+
   test("sessionize: gap splits, singleton sessions, exact cents/durations") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     def ts(s: Long) = new java.sql.Timestamp(t0 + s * 1000)
