@@ -910,6 +910,20 @@ object SparkEntry {
           TextOps.splitColumn(col("doc_id"), "graft", 0.98, 0.01)
             .as("split"))
         .orderBy("doc_id")),
+    // release hygiene: the train split checked for 13-gram overlap with
+    // the test split — splitColumn ∘ decontaminate, the exact check a
+    // dataset release runs before shipping eval sets with the corpus
+    "t_split_decontam" -> ((s, dir) => {
+      val docs = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+          TextOps.splitColumn(col("doc_id"), "graft", 0.98, 0.01).as("split"))
+      val train = docs.filter(col("split") === "train")
+        .select(col("doc_id"), col("text"))
+      val test = docs.filter(col("split") === "test")
+        .select(col("doc_id"), col("text"))
+      TextOps.decontaminate(s, train, test, "doc_id", "text", 13)
+        .orderBy("doc_id")
+    }),
     // anchor-text corpus: per canonical link target, total references +
     // dominant anchor (count desc, lexicographic tiebreak). The HTML
     // parse + href resolution is the pinned surface; whitespace-collapse
@@ -2287,6 +2301,28 @@ object SparkEntry {
         |            < 'fd70a3' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_split_decontam" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 6) AS b
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, b,
+        |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM s),
+        |tg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 11),
+        |    i -> array_to_string(t[i:i+12], ' ')))) AS gram
+        |  FROM toks WHERE b < 'fae147' AND len(t) >= 13),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(t) - 11),
+        |    i -> array_to_string(t[i:i+12], ' ')))) AS gram
+        |  FROM toks WHERE b >= 'fd70a3' AND len(t) >= 13),
+        |c AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (gram))
+        |SELECT toks.doc_id AS doc_id, c.doc_id IS NOT NULL AS contaminated
+        |FROM toks LEFT JOIN c ON toks.doc_id = c.doc_id
+        |WHERE toks.b < 'fae147'
+        |ORDER BY doc_id""".stripMargin,
     "t_anchors" ->
       """WITH d AS (
         |  SELECT doc_id % 4 AS h, doc_id % 10 AS p, doc_id % 3 AS a
