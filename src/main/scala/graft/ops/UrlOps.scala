@@ -240,11 +240,17 @@ object UrlOps {
     * tiebreak). Whitespace-collapsed, empty anchors dropped.
     *
     * Scale shape: the DOM walk is the same narrow flatMap as
-    * [[outlinks]] (HTML never shuffles); the aggregation exchanges
-    * (canonical dst, short anchor) pairs once for the count and reuses
-    * that partitioning for the per-dst window (dst ⊆ grouping keys ⇒ no
-    * second exchange). At 100 TB swap dst for its 64-bit hash in the
-    * exchange and join the string back from the winner set. */
+    * [[outlinks]] (HTML never shuffles). Aggregation is deliberately TWO
+    * exchanges (PlanSpec-asserted): first a map-side-combined count on
+    * (dst, anchor) — this is the skew defense: a hot target (think a
+    * homepage with 10^9 in-links) spreads across its distinct anchors
+    * instead of landing on one reducer — then a second exchange of the
+    * aggregate-sized (dst, anchor, count) rows for the per-dst window.
+    * Partitioning by dst first would be ONE exchange but ships raw
+    * uncombined edges into the hot-key partition; count-then-window is
+    * the shape that survives web-scale in-link skew. At 100 TB swap dst
+    * for its 64-bit hash in the exchanges and join the string back from
+    * the winner set. */
   def anchorTexts(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
                   idCol: String, htmlCol: String, urlCol: String)
       : DataFrame = {

@@ -110,6 +110,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
   }
 
+  test("anchorTexts: combined (dst,anchor) count exchange, then aggregate-sized dst window") {
+    import spark.implicits._
+    val pages = Seq((1L, "<a href=\"/x\">hi</a>", "https://a.com/"))
+      .toDF("id", "html", "url")
+    val plan = planOf(graft.ops.UrlOps.anchorTexts(spark, pages,
+      "id", "html", "url"))
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toVector
+    // TWO exchanges by design (see the op's scaladoc): the first carries
+    // map-side-combined (dst, anchor) counts — hot targets spread across
+    // their anchors — and only aggregate-sized rows reach the dst window
+    assert(exchanges.size == 2, exchanges.mkString("\n"))
+    assert(exchanges.exists(l => l.contains("dst") && l.contains("anchor")),
+      exchanges.mkString("\n"))
+    val lines = plan.linesIterator.toVector
+    val firstExchange = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(lines.drop(firstExchange).exists(_.contains("HashAggregate")),
+      "no partial aggregate below the first exchange")
+  }
+
   test("dedupCorpus plan has no cartesian/nested-loop join anywhere") {
     assume(new java.io.File(s"$sfDir/documents.parquet").exists)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
