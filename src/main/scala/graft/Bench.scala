@@ -251,7 +251,7 @@ object Bench {
         "t_dedup_incr",
         "t_bpe_roundtrip", "t_corpus_diff", "t_url_filter", "t_robots",
         "e_quantize", "m_sessionize", "t_anchors", "t_split",
-        "t_split_decontam",
+        "t_split_decontam", "t_uniq_lines",
         "i_spans_strip", "i_spans_render",
         "s_ann_brute", "s_ann_lsh", "s_ann_ivf", "s_ann_ivfpq", "a_patterns",
         "a_thread_join", "m_events_window")

@@ -910,6 +910,19 @@ object SparkEntry {
           TextOps.splitColumn(col("doc_id"), "graft", 0.98, 0.01)
             .as("split"))
         .orderBy("doc_id")),
+    // within-doc consecutive duplicate-line collapse (uniq): planted
+    // nav/content stutters; the oracle derives the cleaned page
+    // independently (no algorithm replay)
+    "t_uniq_lines" -> ((s, dir) => {
+      val id = col("doc_id").cast("long")
+      val s80 = substring(col("text"), 1, 80)
+      val synth = concat(lit("nav\nnav\n"),
+        when(id % 3 === 0, "nav\n").otherwise(""),
+        s80, lit("\n"), s80, lit("\nfooter"))
+      TextOps.collapseRepeatedLines(
+        QueryLib.documents(s, dir).select(id.as("doc_id"), synth.as("text")),
+        "doc_id", "text").orderBy("id")
+    }),
     // release hygiene: the train split checked for 13-gram overlap with
     // the test split — splitColumn ∘ decontaminate, the exact check a
     // dataset release runs before shipping eval sets with the corpus
@@ -2301,6 +2314,13 @@ object SparkEntry {
         |            < 'fd70a3' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_uniq_lines" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+        |  'nav' || chr(10) || substring(text, 1, 80) || chr(10) || 'footer'
+        |    AS cleaned,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS BIGINT)
+        |    AS n_removed
+        |FROM documents ORDER BY id""".stripMargin,
     "t_split_decontam" ->
       """WITH s AS (
         |  SELECT doc_id, text,

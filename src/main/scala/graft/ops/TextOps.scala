@@ -319,6 +319,26 @@ object TextOps {
     df.filter(keep)
   }
 
+  /** Within-document consecutive-duplicate-line collapse (`uniq`): the
+    * cleaning pass that strips scraped pagination/menu/header repeats a
+    * DOM extractor stutters out — keep line i iff i = 0 or it differs
+    * from line i-1 (cross-document boilerplate is [[lineDedupStats]]'s
+    * job; this is the within-page form). Output (id, cleaned,
+    * n_removed). Pure codegen'd array expression — keep-indices via a
+    * filtered index sequence so each comparison is O(1) element_at, no
+    * UDF; nothing shuffles, at 100 TB this fuses with the scan. */
+  def collapseRepeatedLines(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val idx = sequence(lit(0), size(lines) - 1)
+    val kept = filter(idx, i =>
+      (i === 0) || element_at(lines, i + 1) =!= element_at(lines, i))
+    df.select(col(idCol).cast("long").as("id"),
+      array_join(transform(kept, i => element_at(lines, i + 1)), "\n")
+        .as("cleaned"),
+      (size(lines) - size(kept)).cast("long").as("n_removed"))
+  }
+
   /** Deterministic train/val/test assignment — the split every dataset
     * release needs, as a pure hash partition of the id space (same
     * md5-threshold scheme as [[sampleKeep]], so the split is stable

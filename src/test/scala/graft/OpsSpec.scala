@@ -990,6 +990,21 @@ class OpsSpec extends AnyFunSuite {
       5L -> "blocked:pattern1", 6L -> "blocked:host", 7L -> "ok"))
   }
 
+  test("collapseRepeatedLines: uniq semantics, non-adjacent repeats survive") {
+    val docs = Seq(
+      (1L, "a\na\nb\na\na\na\nc"), // adjacent runs collapse, the later 'a' run is separate
+      (2L, "x"),                     // single line untouched
+      (3L, ""),                      // empty doc
+      (4L, "m\nm")
+    ).toDF("id", "text")
+    val out = TextOps.collapseRepeatedLines(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("a\nb\na\nc", 3L)))
+    assert(out(2L) == (("x", 0L)))
+    assert(out(3L) == (("", 0L)))
+    assert(out(4L) == (("m", 1L)))
+  }
+
   test("splitColumn: partition is exhaustive, stable, and ~98/1/1") {
     val ids = (0L until 20000L).toDF("id")
     val out = ids.select($"id",

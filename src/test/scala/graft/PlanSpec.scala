@@ -110,6 +110,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
   }
 
+  test("bpeRoundtrip and collapseRepeatedLines are narrow — no exchange") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p1 = planOf(graft.ops.TextOps.bpeRoundtrip(docs, "doc_id", "text",
+      Seq(("t", "h"), ("th", "e"))))
+    assert(!p1.contains("Exchange"), p1.take(1500))
+    val p2 = planOf(graft.ops.TextOps.collapseRepeatedLines(docs, "doc_id", "text"))
+    assert(!p2.contains("Exchange"), p2.take(1500))
+  }
+
   test("anchorTexts: combined (dst,anchor) count exchange, then aggregate-sized dst window") {
     import spark.implicits._
     val pages = Seq((1L, "<a href=\"/x\">hi</a>", "https://a.com/"))
