@@ -295,8 +295,14 @@ object StreamingIngest {
               st =
                 if (!st.open)
                   SessAcc(st.seq + 1, true, e.event_id, u, u, 1L, centsOf(e.value))
-                else st.copy(lastUs = u, n = st.n + 1,
-                  cents = st.cents + centsOf(e.value))
+                else st.copy(
+                  // a late event (older than lastUs but inside the
+                  // watermark, delivered in a later batch) joins the open
+                  // session without regressing its end — max keeps dur_us
+                  // and the timeout monotone
+                  lastUs = math.max(st.lastUs, u),
+                  firstUs = math.min(st.firstUs, u),
+                  n = st.n + 1, cents = st.cents + centsOf(e.value))
             }
             state.update(st)
             if (st.open)

@@ -198,6 +198,31 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming sessionize: a late in-window event joins without regressing the session end") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{SessEvent, SessionOut}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val source = MemoryStream[SessEvent]
+    val out = graft.streaming.StreamingIngest.sessionizeStream(
+      spark, source.toDS(), gapSecs = 1800L, watermarkDelay = "1 hour")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_late").start()
+    source.addData(SessEvent(1L, 10L, ts(100), 1.0))
+    q.processAllAvailable()
+    // batch 2: OLDER event for the same open session (inside the 1h
+    // watermark) — must extend n/cents, not move lastUs backward
+    source.addData(SessEvent(1L, 11L, ts(40), 1.0))
+    q.processAllAvailable()
+    // close via gap: session end must still be ts(100), so dur = 60 s
+    source.addData(SessEvent(1L, 12L, ts(100 + 1801), 1.0))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT * FROM sess_late").as[SessionOut].collect().toSet
+    assert(got == Set(SessionOut(1L, 1L, 10L, 2L, 60000000L, 200L)), got.toString)
+    q.stop()
+  }
+
   test("streaming content dedup: first seen wins across micro-batches") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
