@@ -205,7 +205,9 @@ object Bench {
       val curateBench = curateDocs
         .filter(org.apache.spark.sql.functions.pmod(col("id"),
           org.apache.spark.sql.functions.lit(101)) === 0)
-        .select(col("id"), col("text")).limit(2000)
+        // orderBy(id) before limit: unsorted LIMIT is partition-order
+        // dependent, and the scaling docs compare curate walls across runs
+        .select(col("id"), col("text")).orderBy(col("id")).limit(2000)
       val curateRuns = (1 to 2).map { _ =>
         time {
           graft.ops.TextOps.curateCorpus(spark, curateDocs, "id", "text",

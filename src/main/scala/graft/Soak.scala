@@ -170,8 +170,10 @@ object Soak {
       val edges = ids.select($"i".as("src"), ((($"i" + 1) % nDocs)).as("dst"))
         .union(ids.select($"i", ($"i" * 7) % nDocs))
         .union(ids.select($"i", lit(0L)))
+      // scale auto-derives to nDocs * 1e6 — soak-scale call sites no
+      // longer need the manual grain (the round-4 truncation footgun)
       graft.ops.Graph.pageRank(spark, edges, iterations = 10,
-          maxLocalEdges = 0L, scale = nDocs * 1000000L)
+          maxLocalEdges = 0L)
         .orderBy(col("r").desc).limit(1).collect()(0).getLong(1)
     }
 
@@ -196,21 +198,34 @@ object Soak {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
     val curateKept = phase("curate_corpus") {
+      // orderBy before limit: LIMIT on an unsorted distributed frame is
+      // partition-order dependent, and the decontamination input must be
+      // stable for the curate_kept pin to compare across runs
       val bench = soakBodies.filter(pmod($"id", lit(97)) === 0)
-        .select($"id", $"body").limit(5000)
+        .select($"id", $"body").orderBy($"id").limit(5000)
       graft.ops.TextOps.curateCorpus(spark, soakBodies, "id", "body",
         "stratum", "source", "ord", bench, cap = 5000,
         rates = Map("0" -> 0.5, "1" -> 0.25), defaultRate = 0.1,
         salt = "soak").count()
     }
     val packChunks = phase("pack_sequences") {
-      graft.ops.TextOps.packSequences(spark, soakBodies, "id", "body", 2048)
-        .agg(max($"chunk_id")).head().getLong(0) + 1
+      // packSequences returns its result persisted (caller-must-unpersist
+      // contract) — release it once the rollup is out, or a long soak
+      // accumulates cached blocks
+      val segs = graft.ops.TextOps.packSequences(spark, soakBodies, "id",
+        "body", 2048)
+      val n = segs.agg(max($"chunk_id")).head().getLong(0) + 1
+      segs.unpersist(false)
+      n
     }
     val incrDups = phase("dedup_incremental") {
       val prior = soakBodies.filter(pmod($"id", lit(2)) === 0)
-      graft.ops.Dedup.dedupAgainst(spark, prior, soakBodies, "id", "body")
-        .filter($"is_dup").count()
+      // dedupAgainst also returns persisted — same release contract
+      val verdicts = graft.ops.Dedup.dedupAgainst(spark, prior, soakBodies,
+        "id", "body")
+      val n = verdicts.filter($"is_dup").count()
+      verdicts.unpersist(false)
+      n
     }
     // RFC 9309 admission at corpus scale: per-body synthetic URLs over 64
     // hosts, alternating robots policies — drives the broadcast join +

@@ -844,7 +844,8 @@ object SparkEntry {
       val edges = ids.select(col("i").as("src"), ((col("i") + 1) % n).as("dst"))
         .union(ids.select(col("i"), (col("i") * 2) % n))
         .union(ids.select(col("i"), lit(0L)))
-      graft.ops.Graph.pageRank(s, edges, iterations = 10)
+      // explicit scale pins the oracle (auto would derive n * 1e6)
+      graft.ops.Graph.pageRank(s, edges, iterations = 10, scale = 1000000L)
         .select(col("id").as("doc_id"), col("r").as("rank_micro"))
         .orderBy("doc_id")
     }),

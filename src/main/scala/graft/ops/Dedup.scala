@@ -48,7 +48,13 @@ object Dedup {
     * shard the bloom by hash prefix (k broadcasts, batch routed by the
     * same prefix) or skip the prefilter and let AQE plan the semi-join;
     * the verify join here is written so either prefilter slots in front
-    * of it unchanged. */
+    * of it unchanged.
+    *
+    * CONTRACT: the returned DataFrame is left persisted
+    * (MEMORY_AND_DISK_SER) — it was materialized to release the
+    * prior-hash cache, and dropping the persist would recompute the whole
+    * bloom path on next use. The CALLER must `unpersist(false)` it once
+    * consumed (Bench/Soak do; Verify sweeps `getPersistentRDDs`). */
   def dedupAgainst(spark: org.apache.spark.sql.SparkSession,
                    prior: DataFrame, batch: DataFrame,
                    idCol: String, textCol: String,

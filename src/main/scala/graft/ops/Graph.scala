@@ -35,11 +35,17 @@ object Graph {
     * count: per-node resolution is scale/N units, and below ~100
     * units/node truncation eats the rank signal (at scale/N < 1 every
     * rank collapses to the teleport floor — observed at 400k nodes on
-    * the default). Pass `scale = n * 1000000L` for large graphs; a
-    * warning prints when the grain is too coarse. */
+    * the default before auto-derivation). The default `scale = 0` means
+    * AUTO: `max(1e6, nodeCount * 1e6)` once the node count is known, so
+    * the grain is always ≥1e6 units/node and the footgun cannot fire at
+    * any graph size. Pass an explicit positive scale only to pin an
+    * oracle/fixture; a warning prints when an explicit grain is too
+    * coarse. */
   def pageRank(spark: SparkSession, edges: DataFrame, iterations: Int = 10,
-               dampingPct: Int = 85, scale: Long = 1000000L,
+               dampingPct: Int = 85, scale: Long = 0L,
                maxLocalEdges: Long = 2000000L): DataFrame = {
+    def derivedScale(n: Long): Long =
+      if (scale > 0L) scale else math.max(1000000L, n * 1000000L)
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .distinct()
@@ -56,11 +62,12 @@ object Graph {
       e.unpersist()
       val ids = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
       val n = ids.length.toLong
+      val sc = derivedScale(n)
       val idx = ids.zipWithIndex.toMap
       val outdeg = new Array[Long](ids.length)
       es.foreach { case (s, _) => outdeg(idx(s)) += 1 }
-      val base = math.floor((100L - dampingPct) * scale.toDouble / (100L * n)).toLong
-      var r = Array.fill(ids.length)(math.floor(scale.toDouble / n).toLong)
+      val base = math.floor((100L - dampingPct) * sc.toDouble / (100L * n)).toLong
+      var r = Array.fill(ids.length)(math.floor(sc.toDouble / n).toLong)
       var it = 0
       while (it < iterations) {
         val sums = new Array[Long](ids.length)
@@ -78,13 +85,14 @@ object Graph {
       .union(e.select(col("dst").as("id"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val n = nodes.count()
-    if (scale / math.max(n, 1L) < 100L)
-      System.err.println(s"[graft] pageRank: only ${scale / math.max(n, 1L)} " +
-        s"micro-units per node ($n nodes, scale=$scale) — truncation will " +
-        "flatten ranks; pass scale >= 100 * nodeCount")
+    val sc = derivedScale(n)
+    if (sc / math.max(n, 1L) < 100L)
+      System.err.println(s"[graft] pageRank: only ${sc / math.max(n, 1L)} " +
+        s"micro-units per node ($n nodes, scale=$sc) — truncation will " +
+        "flatten ranks; pass scale >= 100 * nodeCount (or 0 for auto)")
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("d"))
-    val base = math.floor((100L - dampingPct) * scale.toDouble / (100L * n)).toLong
-    var ranks = nodes.withColumn("r", lit(math.floor(scale.toDouble / n).toLong))
+    val base = math.floor((100L - dampingPct) * sc.toDouble / (100L * n)).toLong
+    var ranks = nodes.withColumn("r", lit(math.floor(sc.toDouble / n).toLong))
     var i = 1
     while (i <= iterations) {
       // per-edge contribution floor(r/d); floor of a long/long double

@@ -58,7 +58,12 @@ object RobotsTxt {
             inAgents = false
             // empty pattern is a no-op rule ("Disallow:" = allow all)
             if (value.nonEmpty) rules :+= ((key == "allow", value))
-          case _ => inAgents = false // ignored directive ends a UA run
+          // RFC 9309 §2.2.4: records outside the allow/disallow grammar
+          // (sitemap, crawl-delay, …) MUST NOT interfere with record-group
+          // parsing — "User-agent: a / Crawl-delay: 1 / User-agent: b /
+          // Disallow: /" is ONE group covering both agents, so an ignored
+          // directive leaves the user-agent accumulation open
+          case _ => // no-op
         }
       }
     }

@@ -129,7 +129,17 @@ object TextOps {
     * full-text shuffle is the final join of covered-start lists back onto
     * the documents (inherent to a rewrite — some exchange must carry the
     * text once), and AQE broadcasts the start lists when few docs carry
-    * duplicates. Output: (id, text cleaned, n_tokens, n_removed). */
+    * duplicates. Output: (id, text cleaned, n_tokens, n_removed).
+    *
+    * Two-pass contract (the round-4 recompute fix): the corpus text is
+    * tokenized exactly TWICE — once in the rolling-hash position flatMap
+    * (persisted, explicitly materialized so the dup aggregation and the
+    * coverage join read the cache instead of racing to recompute it) and
+    * once in the final rewrite pass, which is inherent (the rewrite must
+    * read the text). The position cache releases before return; only the
+    * small covered-starts side (docs that carry duplicates) stays
+    * persisted under the caller-unpersist/sweep contract, so the lazy
+    * result can be consumed repeatedly without re-running discovery. */
   def stripDupSubstrings(spark: org.apache.spark.sql.SparkSession,
                          df: DataFrame, idCol: String, textCol: String,
                          n: Int = 20): DataFrame = {
@@ -165,6 +175,8 @@ object TextOps {
         }
       }
       .toDF("id", "s", "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    positions.count() // the single discovery tokenize; both uses read cache
     val dup = positions.select("id", "h").distinct()
       .groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
@@ -172,6 +184,9 @@ object TextOps {
     val covered = positions.join(dup, "h")
       .groupBy("id")
       .agg(collect_list(col("s")).as("starts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    covered.count() // dup-carrying docs only — small; pin, then release
+    positions.unpersist(false)
     val nn = n
     docs.join(covered, Seq("id"), "left")
       .select(col("id"), col("text"), coalesce(col("starts"),
@@ -213,7 +228,15 @@ object TextOps {
     * query-term join broadcasts (a query has a handful of terms), so the
     * only large exchange carries (token, id, counts). At 100 TB the
     * token would be an 8-byte hash; the literal string keys both engines
-    * identically for the oracle. */
+    * identically for the oracle.
+    *
+    * Single-pass contract (the round-4 recompute fix): the token explode
+    * has exactly ONE consumer — the (id, tok) count. Document length is
+    * `sum(tf)` per id and document frequency is a count per tok, both
+    * derived from the persisted vocab-bounded tf table (materialized by
+    * an explicit count so no pair of downstream stages races to compute
+    * it), so the corpus text is scanned once. The k-row result is
+    * materialized before the cache releases, so nothing leaks. */
   def bm25TopK(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
                idCol: String, textCol: String, query: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -222,7 +245,9 @@ object TextOps {
     val toks = docs
       .select(col("id"), explode(tokenize(col(textCol))).as("tok"))
     val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    tf.count() // the single corpus scan; everything below reads the cache
+    val dl = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val qterms = query.toDF("tok")
@@ -241,13 +266,17 @@ object TextOps {
       // integer sum is associative, so rank and score are exact
       .withColumn("cmicro", floor(col("contrib") * 1e6).cast("long"))
       .groupBy("id").agg(sum(col("cmicro")).as("smicro"))
-    scored
+    val res = scored
       .orderBy(col("smicro").desc, col("id"))
       .limit(k)
       .select(row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("smicro").desc, col("id"))).cast("long").as("rank"),
         col("id").as(idCol),
         floor(col("smicro") / 1000.0).cast("long").as("score_milli"))
+    res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .count() // k rows — pin before releasing the tf cache
+    tf.unpersist(false)
+    res
   }
 
   /** CCNet-style language-model quality score: per-document mean
@@ -261,23 +290,35 @@ object TextOps {
     * engines), so `nll_milli` = floor(mean micro-NLL / 1000) is exact on
     * both sides. Scale shape: two word-count exchanges (unigram, bigram
     * — 8-byte hashes at 100 TB, literal strings here for the oracle) and
-    * one join of doc bigrams against the model with map-side combine. */
+    * one join of doc bigrams against the model with map-side combine.
+    *
+    * Single-pass contract (the round-4 recompute fix): the tokenize
+    * flatMap runs EXACTLY ONCE per document. One persisted pair stream
+    * (id, w1, w2·nullable — the last token of a doc carries a null w2)
+    * feeds all three consumers: unigram counts come from the w1 column
+    * (every token appears once as w1), bigram counts and the per-doc
+    * scoring join from the non-null-w2 rows. The pair cache materializes
+    * on the vocab count (one leaf stage — no concurrent-stage race), and
+    * is released before return; the corpus-sized RESULT is returned
+    * persisted+materialized instead (caller unpersists / Verify+Bench
+    * sweep `getPersistentRDDs`). */
   def lmScore(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
               idCol: String, textCol: String): DataFrame = {
     import spark.implicits._
     val docs = df.select(col(idCol).cast("long").as("id"), col(textCol))
-    val bigrams = docs.as[(Long, String)]
+    val pairs = docs.as[(Long, String)]
       .flatMap { case (id, t) =>
         val toks = graft.core.TextUtil.tokens(if (t == null) "" else t)
-        (0 until toks.length - 1).iterator.map(i => (id, toks(i), toks(i + 1)))
+        toks.indices.iterator.map(i =>
+          (id, toks(i), if (i + 1 < toks.length) toks(i + 1) else null))
       }
       .toDF("id", "w1", "w2")
-    val uni = docs
-      .select(col("id"), explode(tokenize(col(textCol))).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("u"))
-    val vocab = uni.count()
-    val big = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("b"))
-    bigrams
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val uni = pairs.groupBy("w1").agg(count(lit(1)).as("u"))
+    val vocab = uni.count() // materializes the single tokenize pass
+    val big = pairs.filter(col("w2").isNotNull)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("b"))
+    val res = pairs.filter(col("w2").isNotNull)
       .join(big, Seq("w1", "w2"))
       .join(uni, Seq("w1"))
       .withColumn("nllmicro",
@@ -288,6 +329,10 @@ object TextOps {
       .select(col("id").as(idCol), col("n_bigrams"),
         floor(col("smicro") / col("n_bigrams") / 1000.0).cast("long")
           .as("nll_milli"))
+    res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .count() // pin the result before releasing the pair cache
+    pairs.unpersist(false)
+    res
   }
 
   /** Deterministic keep-predicate for hash sampling: md5 of (id ++ salt),
@@ -351,10 +396,16 @@ object TextOps {
                   trainFrac: Double, valFrac: Double): Column = {
     require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
       "fractions must be non-negative and sum to at most 1")
-    def thr(f: Double) = f"${(f * (1L << 24)).toLong}%06x"
+    // a cumulative fraction >= 1.0 must be an always-true branch (mirrors
+    // sampleKeep): its 24-bit threshold would format as the 7-char string
+    // "1000000", which compares LESS than most 6-char hex buckets and
+    // silently mislabels ~15/16 of the split
+    def cond(bucket: Column, f: Double): Column =
+      if (f >= 1.0) lit(true)
+      else bucket < lit(f"${(f * (1L << 24)).toLong}%06x")
     val bucket = substring(md5(concat(id.cast("string"), lit(salt))), 1, 6)
-    when(bucket < lit(thr(trainFrac)), "train")
-      .when(bucket < lit(thr(trainFrac + valFrac)), "val")
+    when(cond(bucket, trainFrac), "train")
+      .when(cond(bucket, trainFrac + valFrac), "val")
       .otherwise("test")
   }
 
@@ -686,7 +737,15 @@ object TextOps {
 
   /** The distributed-prefix-sum core of [[packSequences]] /
     * [[graft.ops.SpanOps.packInterleaved]]: `df` is (id, n) per-doc
-    * token counts; see packSequences for the shape rationale. */
+    * token counts; see packSequences for the shape rationale.
+    *
+    * CONTRACT: the returned DataFrame is left persisted
+    * (MEMORY_AND_DISK_SER) — it must be, so the segment ids observed by
+    * the caller can never be recomputed against a resampled range
+    * partitioning. The CALLER must `unpersist(false)` it once consumed
+    * (Bench/Soak do; Verify sweeps `getPersistentRDDs` after each
+    * query); a long-lived session that drops the reference without
+    * unpersisting accumulates dead blocks in the block manager. */
   private[ops] def packCounted(spark: org.apache.spark.sql.SparkSession,
                                df: DataFrame, contextLen: Int): DataFrame = {
     import spark.implicits._
@@ -831,6 +890,11 @@ object TextOps {
         " (instr('0123456789abcdef', substr(md5(f), 2, 1)) - 1) * 16 + " +
         " (instr('0123456789abcdef', substr(md5(f), 3, 1)) - 1))"))
       .select(col("id"), col("is_target"), col("b"))
+      // single-pass contract (the round-4 recompute fix): the feature
+      // flatMap runs once — persisted, materialized by the totals collect
+      // below (one leaf stage), then read from cache by both the λ model
+      // aggregate and the per-doc aggregate; released before return
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // both distributions in ONE map-side-combined pass (B-row result)
     val counts = feats.groupBy("b").agg(count(lit(1)).as("rc"),
       sum(when(col("is_target"), 1L).otherwise(0L)).as("tc"))
@@ -842,7 +906,7 @@ object TextOps {
         (log((col("tc") + lit(1.0)) / lit((ttotals + buckets).toDouble)) -
          log((col("rc") + lit(1.0)) / lit((totals + buckets).toDouble)))
           * lit(1e6)).cast("long").as("lmicro"))
-    feats.groupBy("id", "b").agg(count(lit(1)).as("n"))
+    val res = feats.groupBy("id", "b").agg(count(lit(1)).as("n"))
       .join(broadcast(lam), Seq("b"))
       .groupBy("id")
       .agg(sum(col("n")).as("n_feats"),
@@ -850,6 +914,10 @@ object TextOps {
       .select(col("id").as(idCol), col("n_feats"),
         floor(col("smicro") / col("n_feats") / 1000.0).cast("long")
           .as("w_milli"))
+    res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .count() // pin the per-doc result before releasing the feature cache
+    feats.unpersist(false)
+    res
   }
 
   /** Benchmark decontamination (the GPT-3-style 13-gram overlap rule,

@@ -67,6 +67,15 @@ object Dispatch {
       return Ingested("RARIngestor", mimeHint,
         ExtractionResult.failure("Document",
           s"Failed to unpack [$fileName]: compressed RAR member (no public codec spec)"))
+    // a source listed this file but could not materialize it (over the
+    // per-file byte cap): the reference's processingError contract
+    // (`manager.py:229-234`) — a deterministic failure row, not a silent
+    // skip, so the lineage accounts for every listed input
+    if (mimeHint == graft.sources.Sources.OversizeMime)
+      return Ingested("", mimeHint,
+        ExtractionResult.failure("Document",
+          s"Failed to ingest [$fileName]: file exceeds the per-file size " +
+            "cap; skipped without reading"))
     Classifier.auction(fileName, mimeHint, bytes) match {
       case Left(err) =>
         Ingested("", if (mimeHint == null) "" else mimeHint,

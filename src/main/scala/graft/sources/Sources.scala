@@ -71,17 +71,46 @@ object Sources {
     * the standard crawl shape of one task per ~1 GB warc; the flatMap is
     * narrow, so payload bytes never shuffle. */
   def fromWarcs(spark: SparkSession, root: String,
-                maxBytesPerFile: Long = 2L * 1024 * 1024 * 1024)
+                maxBytesPerFile: Long = Int.MaxValue.toLong)
       : Dataset[PendingDoc] = {
-    import spark.implicits._
     val df = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.warc*")
       .load(root)
-      .filter(col("length") <= maxBytesPerFile)
-    val prefixes = rootPrefixes(spark, root)
-    df.select(col("path"), col("content")).as[(String, Array[Byte])]
+    fromWarcListing(spark, df, rootPrefixes(spark, root), maxBytesPerFile)
+  }
+
+  /** Mime hint planted on oversize listing rows: [[graft.pipeline.Dispatch]]
+    * converts it into the reference's processingError failure row
+    * (`manager.py:229-234`) so an over-cap file surfaces in the lineage
+    * instead of vanishing in a silent filter. */
+  val OversizeMime = "application/x-graft-oversize"
+
+  /** Listing → pending docs, split at the byte cap. The cap defaults to
+    * `Int.MaxValue` because a JVM byte array holds at most 2^31−1 bytes —
+    * the previous 2 GiB (= 2^31) default admitted a file of exactly 2 GiB,
+    * which binaryFile cannot materialize and fails on opaquely. Oversize
+    * rows never touch `content` (the scan prunes the column), so listing
+    * them is free; they emit a zero-byte [[OversizeMime]] pending doc that
+    * becomes a per-file failure row downstream. */
+  private[graft] def fromWarcListing(spark: SparkSession,
+                                       listing: org.apache.spark.sql.DataFrame,
+                                       prefixes: Seq[String],
+                                       maxBytesPerFile: Long): Dataset[PendingDoc] = {
+    import spark.implicits._
+    require(maxBytesPerFile > 0 && maxBytesPerFile <= Int.MaxValue.toLong,
+      s"maxBytesPerFile must be in (0, 2^31-1]: $maxBytesPerFile")
+    val ok = listing.filter(col("length") <= maxBytesPerFile)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
       .flatMap((warcPending(prefixes) _).tupled)
+    val over = listing.filter(col("length") > maxBytesPerFile)
+      .select(col("path")).as[String]
+      .map { p =>
+        val rel = relativize(p, prefixes)
+        PendingDoc(rel, "", Seq.empty, 0, rel, OversizeMime,
+          Array.empty[Byte])
+      }
+    ok.union(over)
   }
 
   /** One WARC file → its kept payloads as pending docs (narrow). */

@@ -255,11 +255,14 @@ object StreamingIngest {
     * past the gap, or when the EVENT-TIME timeout fires (watermark passes
     * lastEvent + gap) — so idle users' sessions close without waiting for
     * their next visit, and state stays bounded by the number of
-    * currently-open sessions. Events later than the watermark may start
-    * a spurious new session (the standard watermark disorder contract —
-    * bound it with `watermarkDelay`). The per-user `seq` counter lives in
-    * state across sessions, so session_seq matches the batch op's
-    * numbering for in-order data. */
+    * currently-open sessions. Sub-watermark events are DROPPED before the
+    * state function (Spark applies late-record filtering to
+    * flatMapGroupsWithState under EventTimeTimeout — verified empirically
+    * on Spark 4.1: a row older than the current watermark never reaches
+    * the group iterator), so the disorder bound is `watermarkDelay`; an
+    * event inside the delay joins its open session without regressing
+    * its end. The per-user `seq` counter lives in state across sessions,
+    * so session_seq matches the batch op's numbering for in-order data. */
   def sessionizeStream(spark: SparkSession,
                        events: org.apache.spark.sql.Dataset[SessEvent],
                        gapSecs: Long,
@@ -306,7 +309,16 @@ object StreamingIngest {
             }
             state.update(st)
             if (st.open)
-              state.setTimeoutTimestamp(st.lastUs / 1000L + gapSecs * 1000L)
+              // defensive clamp: setTimeoutTimestamp throws (killing the
+              // whole query) if the timeout is not strictly above the
+              // current watermark. Spark 4's late-record filtering makes
+              // every surviving event >= watermark, so lastUs + gap is
+              // normally above it — the clamp guarantees the query
+              // survives even if a runtime stops filtering (the pre-3.x
+              // contract) or a zero/negative gap sneaks in
+              state.setTimeoutTimestamp(
+                math.max(st.lastUs / 1000L + gapSecs * 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
           }
           out.result().iterator
       }

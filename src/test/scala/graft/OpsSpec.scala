@@ -588,21 +588,33 @@ class OpsSpec extends AnyFunSuite {
     val n = 6L
     val edges = (0L until n).flatMap(i =>
       Seq((i, (i + 1) % n), (i, (2 * i) % n), (i, 0L))).toDF("src", "dst")
-    val got = graft.ops.Graph.pageRank(spark, edges, iterations = 10)
+    val got = graft.ops.Graph.pageRank(spark, edges, iterations = 10,
+        scale = 1000000L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expected = Map(0L -> 412815L, 1L -> 200447L, 2L -> 143788L,
       3L -> 65738L, 4L -> 118579L, 5L -> 58600L)
     assert(got == expected, got)
     // hub (0) dominates; determinism across re-runs
     assert(got(0L) == got.values.max)
-    val again = graft.ops.Graph.pageRank(spark, edges.repartition(7), 10)
+    val again = graft.ops.Graph.pageRank(spark, edges.repartition(7), 10,
+        scale = 1000000L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == expected) // partitioning-independent (integer math)
     // the distributed iterative path (maxLocalEdges=0 forces it) must be
     // bit-equal to the driver fast path — same integer recurrence
-    val dist = graft.ops.Graph.pageRank(spark, edges, 10, maxLocalEdges = 0L)
+    val dist = graft.ops.Graph.pageRank(spark, edges, 10, maxLocalEdges = 0L,
+        scale = 1000000L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist == expected)
+    // default scale auto-derives max(1e6, n*1e6): the 6-node graph gets
+    // 6e6 total mass = exactly 6x the pinned vector's grain, so every
+    // rank is the pinned value scaled by 6 (the recurrence is linear in
+    // scale up to floor truncation; on this graph the division chain is
+    // truncation-identical, verified by the exact 6x equality)
+    val auto = graft.ops.Graph.pageRank(spark, edges, iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto.values.sum > 5L * expected.values.sum, auto)
+    assert(auto(0L) == auto.values.max)
   }
 
   test("resolveHref: absolute kept, relative joined, dots collapsed, decoys dropped") {
@@ -1026,6 +1038,52 @@ class OpsSpec extends AnyFunSuite {
     assert(sub == full)
   }
 
+  test("splitColumn: cumulative fraction 1.0 is an always-true branch") {
+    val ids = (0L until 4096L).toDF("id")
+    def dist(tf: Double, vf: Double): Map[String, Long] =
+      ids.select(TextOps.splitColumn($"id", "graft", tf, vf).as("s"))
+        .groupBy("s").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // (0.9, 0.1): everything not train must be val — the old 7-char
+    // "1000000" threshold string silently sent ~15/16 of val to test
+    val d1 = dist(0.9, 0.1)
+    assert(!d1.contains("test"), d1)
+    assert(d1("val") > 300 && d1("val") < 520, d1)
+    // trainFrac = 1.0: everything is train
+    assert(dist(1.0, 0.0) == Map("train" -> 4096L))
+  }
+
+  test("single-pass contract: lmScore/dsirWeights/bm25TopK scan the corpus once, stripDupSubstrings twice") {
+    // every source row increments an accumulator; a multi-consumer
+    // recompute of the tokenize subtree would re-run the map and
+    // over-count (the round-4 defect: these ops paid 2-3x the corpus scan)
+    def counted(n: Long) = {
+      val acc = spark.sparkContext.longAccumulator("src_scans")
+      val df = (0L until n).toDF("id").as[Long]
+        .map { i =>
+          acc.add(1)
+          (i, s"alpha tok${i % 7} beta gamma tok${i % 5} delta epsilon " +
+            s"shared phrase tail words here now ok yes " * 2)
+        }
+        .toDF("id", "text")
+      (acc, df)
+    }
+    val (a1, d1) = counted(200)
+    TextOps.lmScore(spark, d1, "id", "text").count()
+    assert(a1.value == 200L, s"lmScore scans: ${a1.value}")
+    val (a2, d2) = counted(200)
+    TextOps.dsirWeights(spark, d2, "id", "text", $"id" % 10 === 0).count()
+    assert(a2.value == 200L, s"dsirWeights scans: ${a2.value}")
+    val (a3, d3) = counted(200)
+    TextOps.bm25TopK(spark, d3, "id", "text", Seq("alpha", "tok1"), 5).count()
+    assert(a3.value == 200L, s"bm25TopK scans: ${a3.value}")
+    // strip = discovery pass + the inherent rewrite pass, nothing more
+    val (a4, d4) = counted(200)
+    TextOps.stripDupSubstrings(spark, d4, "id", "text", n = 5).count()
+    assert(a4.value == 400L, s"stripDupSubstrings scans: ${a4.value}")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("sessionize: gap splits, singleton sessions, exact cents/durations") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     def ts(s: Long) = new java.sql.Timestamp(t0 + s * 1000)
@@ -1077,6 +1135,23 @@ class OpsSpec extends AnyFunSuite {
     assert(RobotsTxt.pathQueryOf("https://h?q=1#f") == "/?q=1")
     assert(RobotsTxt.pathQueryOf("https://h") == "/")
     assert(RobotsTxt.pathQueryOf("https://h/a/b?c=2#frag") == "/a/b?c=2")
+  }
+
+  test("robots.txt: ignored directives do not terminate a user-agent run (RFC 9309 §2.2.4)") {
+    import graft.ops.RobotsTxt
+    // crawl-delay between consecutive UA lines must not split the group:
+    // both agents share the Disallow
+    val txt = "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /\n"
+    val g = RobotsTxt.parse(txt)
+    assert(g.map(_.agents) == Seq(Seq("a", "b")), g)
+    assert(!RobotsTxt.allowed(txt, "a", "https://h/x"))
+    assert(!RobotsTxt.allowed(txt, "b", "https://h/x"))
+    // an ignored directive after rules still leaves the next UA line
+    // starting a fresh group
+    val txt2 = "User-agent: a\nDisallow: /\nSitemap: s\nUser-agent: b\nAllow: /\n"
+    assert(RobotsTxt.parse(txt2).map(_.agents) == Seq(Seq("a"), Seq("b")))
+    assert(!RobotsTxt.allowed(txt2, "a", "https://h/x"))
+    assert(RobotsTxt.allowed(txt2, "b", "https://h/x"))
   }
 
   test("robotsFilter: broadcast host join, missing robots allows") {

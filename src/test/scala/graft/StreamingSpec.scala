@@ -223,6 +223,43 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming sessionize: a sub-watermark event is filtered, never kills the query") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{SessEvent, SessionOut}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val source = MemoryStream[SessEvent]
+    val out = graft.streaming.StreamingIngest.sessionizeStream(
+      spark, source.toDS(), gapSecs = 1800L, watermarkDelay = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_subwm").start()
+    // batch 1: advance the watermark to ts(10000)
+    source.addData(SessEvent(1L, 1L, ts(10000), 1.0))
+    q.processAllAvailable()
+    // batch 2: an event OLDER than watermark − gap. Spark 4 applies
+    // late-record filtering to flatMapGroupsWithState under
+    // EventTimeTimeout, so the row is dropped before the state function;
+    // if a runtime ever stops filtering (the pre-3.x contract), the
+    // timeout clamp keeps setTimeoutTimestamp above the watermark so the
+    // query still cannot die with an IllegalArgumentException
+    source.addData(SessEvent(2L, 2L, ts(0), 3.0))
+    q.processAllAvailable()
+    assert(q.exception.isEmpty, q.exception.toString)
+    // batch 3+4: watermark advances → any open state flushes
+    source.addData(SessEvent(1L, 3L, ts(20000), 1.0))
+    q.processAllAvailable()
+    source.addData(SessEvent(1L, 4L, ts(20001), 1.0))
+    q.processAllAvailable()
+    assert(q.exception.isEmpty, q.exception.toString)
+    val got = spark.sql("SELECT * FROM sess_subwm").as[SessionOut].collect().toSet
+    // the late event was filtered: user 2 never appears; user 1's first
+    // session (the lone ts(10000) event) closed via the gap
+    assert(!got.exists(_.user_id == 2L), got.toString)
+    assert(got.contains(SessionOut(1L, 1L, 1L, 1L, 0L, 100L)), got.toString)
+    q.stop()
+  }
+
   test("streaming content dedup: first seen wins across micro-batches") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
