@@ -1034,6 +1034,26 @@ object SparkEntry {
           contextLen = 512)
         .orderBy("chunk_id", "doc_id")
     }),
+    // patch-aware multimodal packing: media spans cost
+    // ceil(w/28)*ceil(h/28) ViT patch tokens read from a dims side table
+    // (synthesized per media_ref from md5 arithmetic both engines
+    // replay); refs with md5-digit4 == 0 are ABSENT from dims and fall
+    // back to cost 1 — exercising the unknown-dims path
+    "i_spans_pack_patches" -> ((s, dir) => {
+      val docs = spanDocs(s, dir)
+      def hx(n: Int) = expr(
+        s"(instr('0123456789abcdef', substr(md5(media_ref), $n, 1)) - 1)")
+      val refs = graft.ops.SpanOps.explodeSpans(docs)
+        .filter(col("kind") =!= "text").select("media_ref").distinct()
+      val dims = refs
+        .filter(hx(4) =!= 0)
+        .select(col("media_ref"),
+          (lit(28) * (lit(3) + hx(1) % 6) + hx(3) % 2).as("width"),
+          (lit(28) * (lit(2) + hx(2) % 5)).as("height"))
+      graft.ops.SpanOps.packInterleavedPatches(s, docs, dims,
+          patchSize = 28, contextLen = 512)
+        .orderBy("chunk_id", "doc_id")
+    }),
     // corpus vocabulary: token -> (tf, df), top-100 by tf with
     // deterministic tiebreak — the tokenizer-training word count
     "t_vocab" -> ((s, dir) => {
@@ -2499,6 +2519,33 @@ object SparkEntry {
         |                         x -> len(x) > 0))
         |    ELSE 1 END) AS BIGINT) AS n
         |  FROM sp GROUP BY id),
+        |o AS (
+        |  SELECT id, n,
+        |         CAST(sum(n) OVER (ORDER BY id) - n AS BIGINT) AS off
+        |  FROM n1 WHERE n > 0)
+        |SELECT CAST(c AS BIGINT) AS chunk_id, id AS doc_id,
+        |       CAST(greatest(0, c * 512 - off) AS BIGINT) AS doc_from,
+        |       CAST(least(n, (c + 1) * 512 - off)
+        |            - greatest(0, c * 512 - off) AS BIGINT) AS seg_len
+        |FROM o, unnest(range(off // 512, (off + n - 1) // 512 + 1)) AS u(c)
+        |ORDER BY chunk_id, doc_id""".stripMargin),
+    "i_spans_pack_patches" -> (SpanCte +
+      """,
+        |mc AS (
+        |  SELECT id,
+        |    CASE WHEN kind = 'text'
+        |      THEN len(list_filter(string_split_regex(stext, '\s+'),
+        |                           x -> len(x) > 0))
+        |    WHEN (instr('0123456789abcdef', substr(md5(media_ref), 4, 1)) - 1) <> 0
+        |      THEN (3 + (instr('0123456789abcdef', substr(md5(media_ref), 1, 1)) - 1) % 6
+        |            + CASE WHEN (instr('0123456789abcdef',
+        |                         substr(md5(media_ref), 3, 1)) - 1) % 2 > 0
+        |                   THEN 1 ELSE 0 END)
+        |         * (2 + (instr('0123456789abcdef', substr(md5(media_ref), 2, 1)) - 1) % 5)
+        |    ELSE 1 END AS cost
+        |  FROM sp),
+        |n1 AS (
+        |  SELECT id, CAST(sum(cost) AS BIGINT) AS n FROM mc GROUP BY id),
         |o AS (
         |  SELECT id, n,
         |         CAST(sum(n) OVER (ORDER BY id) - n AS BIGINT) AS off

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Operators that CONSUME the interleaved spans table shape —
@@ -104,5 +104,53 @@ object SpanOps {
         .otherwise(lit(1L)))
     TextOps.packCounted(spark,
       docs.select(col(idCol).cast("long").as("id"), n.as("n")), contextLen)
+  }
+
+  /** PATCH-AWARE multimodal packing — [[packInterleaved]] with the real
+    * vision-language cost model: a media span costs
+    * `ceil(h/patchSize) * ceil(w/patchSize)` patch tokens (the ViT
+    * convention a multimodal loader actually materializes), read from a
+    * `dims` side table `(media_ref, width, height)` — the blobs/meta
+    * table every ingestion run already produces (EXIF/BMP dims land in
+    * the meta properties). A media span whose ref is missing from `dims`
+    * falls back to cost 1 (the placeholder convention), so the op
+    * degrades to [[packInterleaved]] when dims are unknown.
+    *
+    * Scale shape: ONE scan of the spans table — the per-doc text token
+    * count rides the same projection that explodes the media refs
+    * (`explode_outer`, id + 8-byte-ish ref only; span text never leaves
+    * the row) — then one equi-join against `dims` (AQE broadcasts it
+    * while it fits; at 10^12 media it becomes a plain 16-byte-row
+    * shuffle join, which is the honest cost of per-image dims) and one
+    * map-side-combined groupBy(id). The prefix-sum core is shared. */
+  def packInterleavedPatches(spark: SparkSession, docs: DataFrame,
+                             dims: DataFrame, patchSize: Int = 14,
+                             idCol: String = "doc_id",
+                             spansCol: String = "spans",
+                             contextLen: Int = 2048): DataFrame = {
+    require(patchSize > 0, s"patchSize must be positive: $patchSize")
+    val p = patchSize.toLong
+    val textN = aggregate(col(spansCol), lit(0L), (acc, sp) =>
+      acc + when(sp.getField("kind") === "text",
+          TextOps.tokenCount(sp.getField("text")).cast("long"))
+        .otherwise(lit(0L)))
+    val exploded = docs.select(col(idCol).cast("long").as("id"),
+      textN.as("tn"),
+      explode_outer(transform(
+        filter(col(spansCol), sp => sp.getField("kind") =!= "text"),
+        sp => sp.getField("media_ref"))).as("media_ref"))
+    // ceil division as floor((x + p - 1) / p): dims are bounded by image
+    // formats (< 2^31), so the double division is exact
+    def ceilDiv(c: Column): Column =
+      floor((c.cast("long") + lit(p - 1)) / lit(p.toDouble)).cast("long")
+    val d = dims.select(col("media_ref"),
+      (ceilDiv(col("width")) * ceilDiv(col("height"))).as("pcost"))
+    val counts = exploded
+      .join(d, Seq("media_ref"), "left")
+      .groupBy("id")
+      .agg((first(col("tn")) + coalesce(sum(
+        when(col("media_ref").isNotNull, coalesce(col("pcost"), lit(1L)))),
+        lit(0L))).as("n"))
+    TextOps.packCounted(spark, counts, contextLen)
   }
 }

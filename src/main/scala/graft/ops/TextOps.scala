@@ -582,11 +582,39 @@ object TextOps {
     * shared boundary space, so an "a a a" run merges leftmost-first
     * identically (the standard BPE convention). Requires every step to
     * find ≥1 pair (true for any corpus with multi-char words and small K;
-    * an exhausted vocabulary stops early with fewer rows). */
+    * an exhausted vocabulary stops early with fewer rows).
+    *
+    * COST MODEL at realistic vocab sizes: training is inherently
+    * driver-sequential — ONE tiny Spark job per merge over the
+    * vocab-bounded word table (the corpus itself is scanned exactly once,
+    * for the word count). A 32k-merge tokenizer is therefore 32k small
+    * jobs: fine over a ~1e6-row vocab, but pointless over the FULL corpus
+    * vocabulary — real pipelines train the tokenizer on a bounded sample.
+    * `trainFraction` is that documented path: a deterministic
+    * content-hash document sample ([[sampleKeep]] over xxhash64(text), so
+    * the sample is stable under repartitioning and corpus growth) taken
+    * BEFORE the word count, bounding the vocab regardless of corpus
+    * size. Two further guards make large `merges` a bounded operation:
+    * the per-merge rewrite drops symbol strings that can no longer pair
+    * from the working table is NOT done (counts must stay exact), but
+    * the growing replace-expression lineage IS cut every
+    * `checkpointEvery` merges (localCheckpoint over the tiny vocab
+    * table), keeping Catalyst analysis time linear in `merges` instead
+    * of quadratic. Defaults (`trainFraction = 1.0`) reproduce the
+    * round-3 oracle exactly. */
   def bpeMerges(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
-                textCol: String, merges: Int = 12): DataFrame = {
+                textCol: String, merges: Int = 12,
+                trainFraction: Double = 1.0, sampleSalt: String = "bpe",
+                checkpointEvery: Int = 64): DataFrame = {
     import spark.implicits._
-    val words = df
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1]: $trainFraction")
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
+    val training =
+      if (trainFraction >= 1.0) df
+      else df.filter(sampleKeep(xxhash64(col(textCol)), sampleSalt,
+        trainFraction))
+    val words = training
       .select(explode(tokenize(col(textCol))).as("w"))
       .select(lower(col("w")).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
@@ -619,6 +647,11 @@ object TextOps {
         cur = cur.select(
           expr(s"trim(replace(concat(' ', sym, ' '), ' $l $r ', ' $l$r '))")
             .as("sym"), col("c"))
+        // cut the replace-chain lineage periodically: the vocab table is
+        // tiny, but K stacked projections make Catalyst analysis O(K^2)
+        // across the loop — localCheckpoint keeps large-merge training
+        // (32k-vocab reality) linear
+        if (step % checkpointEvery == 0) cur = cur.localCheckpoint()
         step += 1
       }
     }

@@ -771,6 +771,39 @@ class OpsSpec extends AnyFunSuite {
     assert(m2.length == 2) // (a,</w>) then (b,</w>) — then exhausted
   }
 
+  test("bpeMerges: sample-bounded training runs 80 merges in bounded time, deterministically") {
+    // a vocabulary rich enough to survive 80 merges: 400 synthetic docs
+    // over composite words
+    val roots = Array("inter", "nation", "al", "iz", "ation", "under",
+      "stand", "ing", "re", "con", "struct", "ed", "over", "whelm",
+      "develop", "ment", "trans", "form", "er", "pre", "process")
+    val docs = (0L until 400L).map { i =>
+      val w1 = roots(i.toInt % roots.length) + roots((i.toInt * 7 + 3) % roots.length)
+      val w2 = roots((i.toInt * 5 + 1) % roots.length) + roots((i.toInt * 11 + 2) % roots.length)
+      (i, s"$w1 $w2 $w1$w2 common words appear everywhere")
+    }.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val m1 = TextOps.bpeMerges(spark, docs, "text", merges = 80,
+      trainFraction = 0.5, checkpointEvery = 16).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(m1.length == 80, s"got ${m1.length} merges")
+    // checkpointEvery keeps the replace-chain lineage cut: 80 merges must
+    // not blow up Catalyst analysis (generous wall bound for steal)
+    assert(secs < 120.0, s"80 sampled merges took $secs s")
+    // the content-hash sample is deterministic: identical merge table on
+    // a re-run and under a different partitioning
+    val m2 = TextOps.bpeMerges(spark, docs.repartition(7), "text",
+      merges = 80, trainFraction = 0.5, checkpointEvery = 16).collect()
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+    // the sample really is a subset: fraction 0.5 must see fewer word
+    // occurrences than the full corpus for the top merge
+    val full = TextOps.bpeMerges(spark, docs, "text", merges = 1).collect()(0)
+    val half = TextOps.bpeMerges(spark, docs, "text", merges = 1,
+      trainFraction = 0.5).collect()(0)
+    assert(half.getLong(3) < full.getLong(3),
+      s"sampled pair_count ${half.getLong(3)} !< full ${full.getLong(3)}")
+  }
+
   test("dsirWeights: target-like documents outscore off-domain ones; n_feats exact") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
@@ -1051,6 +1084,41 @@ class OpsSpec extends AnyFunSuite {
     assert(d1("val") > 300 && d1("val") < 520, d1)
     // trainFrac = 1.0: everything is train
     assert(dist(1.0, 0.0) == Map("train" -> 4096L))
+  }
+
+  test("packInterleavedPatches: planted dims change chunk boundaries; missing dims cost 1") {
+    import graft.core.Span
+    // doc 1: 3 text tokens + image m1 (56x28 @ patch 28 -> 2x1 = 2 patches)
+    // doc 2: 2 text tokens + image m2 (dims UNKNOWN -> cost 1)
+    val docs = Seq(
+      (1L, Seq(Span("text", "a b c", "", 0), Span("image", "", "m1", 3))),
+      (2L, Seq(Span("text", "d e", "", 0), Span("image", "", "m2", 2)))
+    ).toDF("doc_id", "spans")
+    val dims = Seq(("m1", 56, 28)).toDF("media_ref", "width", "height")
+    def segs(df: org.apache.spark.sql.DataFrame) = {
+      val out = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      out
+    }
+    // patch-aware: doc1 n = 3 + 2 = 5, doc2 n = 2 + 1 = 3; contextLen 4:
+    // stream = [d1:0..4][d2:5..7] → chunks 0 (d1 0..3), 1 (d1 4 + d2 0..2)
+    val patched = segs(graft.ops.SpanOps.packInterleavedPatches(spark, docs,
+      dims, patchSize = 28, contextLen = 4))
+    assert(patched == Set((0L, 1L, 0L, 4L), (1L, 1L, 4L, 1L),
+      (1L, 2L, 0L, 3L)), patched)
+    // cost=1 convention (packInterleaved): doc1 n = 4, doc2 n = 3 —
+    // DIFFERENT boundaries, proving the dims actually moved them
+    val flat = segs(graft.ops.SpanOps.packInterleaved(spark, docs,
+      contextLen = 4))
+    assert(flat == Set((0L, 1L, 0L, 4L), (1L, 2L, 0L, 3L)), flat)
+    // non-multiple dims exercise ceil: 57x29 @ 28 -> 3x2 = 6 patches
+    val dims2 = Seq(("m1", 57, 29)).toDF("media_ref", "width", "height")
+    val ceiled = segs(graft.ops.SpanOps.packInterleavedPatches(spark, docs,
+      dims2, patchSize = 28, contextLen = 4))
+    // doc1 n = 3 + 6 = 9 → chunks 0,1,2 (len 4,4,1); doc2 n = 3
+    assert(ceiled == Set((0L, 1L, 0L, 4L), (1L, 1L, 4L, 4L),
+      (2L, 1L, 8L, 1L), (2L, 2L, 0L, 3L)), ceiled)
   }
 
   test("single-pass contract: lmScore/dsirWeights/bm25TopK scan the corpus once, stripDupSubstrings twice") {
