@@ -187,6 +187,49 @@ object Bench {
         }._1
       }
       results += ("spans_strip" -> stripRuns.min)
+
+      // END-TO-END web composition at tile volume — t_web_pipeline's
+      // post-source stages (boilerplate strip → per-site body reassembly
+      // → five-stage curation → sequence packing) as ONE timed chain:
+      // the N-vs-4N scaling row for the composed pipeline. The WARC file
+      // source itself is file-granular (one task per ~1 GB crawl file)
+      // and scales with file count, so the tile measures the
+      // shuffle-bearing stages the composition actually strings together.
+      {
+        import org.apache.spark.sql.functions._
+        val webRuns = (1 to 2).map { _ =>
+          val (sec, segs) = time {
+            val stripped =
+              graft.ops.SpanOps.stripBoilerplate(spark, spansTiled, 5)
+            val bodies = stripped.filter(col("kind") === "text")
+              .groupBy("doc_id")
+              .agg(concat_ws(" ", transform(array_sort(collect_list(
+                struct(col("pos"), col("text")))), e => e.getField("text")))
+                .as("text"))
+            val corpus = bodies.select(col("doc_id").cast("long").as("id"),
+              col("text"),
+              pmod(col("doc_id").cast("long"), lit(3)).cast("string")
+                .as("stratum"),
+              pmod(col("doc_id").cast("long"), lit(997)).cast("string")
+                .as("source"),
+              length(col("text")).cast("long").as("ord"))
+            val bench = corpus.filter(pmod(col("id"), lit(101)) === 0)
+              .select(col("id"), col("text")).orderBy(col("id")).limit(2000)
+            val kept = graft.ops.TextOps.curateCorpus(spark, corpus, "id",
+              "text", "stratum", "source", "ord", bench, 5000,
+              Map("0" -> 0.5, "1" -> 0.25), 0.1, "bench")
+            val surv = corpus.join(kept.select(col("id")), Seq("id"),
+              "left_semi")
+            val s = graft.ops.TextOps.packSequences(spark, surv, "id",
+              "text", 2048)
+            s.count()
+            s
+          }
+          segs.unpersist(false)
+          sec
+        }
+        results += ("web_tile" -> webRuns.min)
+      }
       spansTiled.unpersist()
 
       // five-stage curation recipe over the SAME tiled corpus — its
@@ -254,7 +297,8 @@ object Bench {
         "t_bpe_roundtrip", "t_corpus_diff", "t_url_filter", "t_robots",
         "e_quantize", "m_sessionize", "t_anchors", "t_split",
         "t_split_decontam", "t_uniq_lines",
-        "i_spans_strip", "i_spans_render",
+        "i_spans_strip", "i_spans_render", "i_spans_pack_patches",
+        "t_web_pipeline",
         "s_ann_brute", "s_ann_lsh", "s_ann_ivf", "s_ann_ivfpq", "a_patterns",
         "a_thread_join", "m_events_window")
     val benchQueries = sys.env.get("SPARK_GRAFT_QUERIES") match {

@@ -994,6 +994,83 @@ object SparkEntry {
           salt = "graft")
         .orderBy("id")
     }),
+    // THE end-to-end web-ingestion composition (the LLM-data story the
+    // brief describes, as ONE oracled chain): real WARC files on disk ->
+    // fromWarcs record source -> full extraction pipeline -> per-site
+    // reassembly of the interleaved spans -> cross-site boilerplate strip
+    // (the shared footer page every site carries) -> five-stage curation
+    // -> sequence packing. The oracle replays the whole chain in SQL, so
+    // the COMPOSITION is pinned end-to-end: the packed segment table only
+    // matches if extraction bodies, the strip verdict, every curation
+    // stage, and the prefix-sum packing all agree.
+    "t_web_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      // 1. render the corpus into real .warc/.warc.gz files (each site =
+      // page + notes + the SHARED footer page)
+      val docs0 = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect()
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_webpipe_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      def deleteRec(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(deleteRec)
+        f.delete(); ()
+      }
+      if (root.exists()) deleteRec(root)
+      root.mkdirs()
+      for ((id, text) <- docs0) {
+        val (name, bytes) = QueryLib.render("warc_site", id,
+          if (text == null) "" else text)
+        java.nio.file.Files.write(new java.io.File(root, name).toPath, bytes)
+      }
+      // 2. crawl source -> extraction
+      val out = QueryLib.run(s,
+        graft.sources.Sources.fromWarcs(s, root.getAbsolutePath))
+      val recs = out.meta.toDF()
+        .select(col("doc_id").as("rec_id"), col("file_name").as("uri"))
+      val recBodies = out.spans.toDF().filter(col("kind") === "text")
+        .select(col("doc_id").as("rec_id"), col("text"))
+      // 3. reassemble the interleaved per-site documents (span order =
+      // URI order: footer < notes < page, deterministically)
+      val nested = recs.join(recBodies, "rec_id")
+        .select(regexp_extract(col("rec_id"), "^doc(\\d+)\\.warc", 1)
+          .cast("long").as("doc_id"), col("uri"), col("text"))
+        .groupBy("doc_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("uri"), col("text")))),
+          e => struct(lit("text").as("kind"), e.getField("text").as("text"),
+            lit("").as("media_ref"), lit(0).as("offset"))).as("spans"))
+      // 4. cross-site boilerplate strip, then rejoin surviving spans
+      val stripped = graft.ops.SpanOps.stripBoilerplate(s, nested, minDocs = 5)
+      val body = stripped
+        .groupBy("doc_id")
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("text")))),
+          e => e.getField("text"))).as("text"))
+      // 5. five-stage curation over the reassembled bodies
+      val meta = QueryLib.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("source"))
+      val corpus = body.join(meta, "doc_id")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars"))
+      val bench = corpus.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val toks = graft.core.TextUtil.tokens(if (t == null) "" else t)
+          (id, toks.slice(5, 40).mkString(" "))
+        }.toDF("doc_id", "text")
+      val kept = TextOps.curateCorpus(s, corpus, "doc_id", "text", "lang",
+        "source", "n_chars", bench, cap = 10,
+        rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1,
+        salt = "graft")
+      // 6. pack the survivors into 512-position training contexts
+      val survivors = corpus
+        .join(kept.select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+      TextOps.packSequences(s, survivors, "doc_id", "text", 512)
+        .orderBy("chunk_id", "doc_id")
+    }),
     // C4 cleaning rules (Raffel et al. 2020) over synthesized multi-line
     // pages (the flat testdata text carries no lines/sentences, so both
     // engines derive the same page deterministically — the planted-
@@ -2449,6 +2526,77 @@ object SparkEntry {
         |  CASE stratum WHEN 'en' THEN '800000' WHEN 'de' THEN '400000'
         |               ELSE '199999' END
         |ORDER BY id""".stripMargin),
+    // Full-chain replay of the web-ingestion composition: the reassembled
+    // post-strip body is 'copy of doc N' (notes record) ++ the extracted
+    // page body (the shared footer page is stripped by corpus
+    // doc-frequency), then the exact five-stage curation SQL of t_curate
+    // over that derived corpus, then the t_pack prefix-sum suffix.
+    // GopherCtes is reused verbatim with the base table swapped to `web`,
+    // so the quality-gate SQL cannot drift between the two oracles.
+    "t_web_pipeline" -> {
+      val gopherOnWeb = GopherCtes
+        .replaceFirst("^WITH ", "")
+        .replace("FROM documents", "FROM web")
+      """WITH web AS MATERIALIZED (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         'copy of doc ' || doc_id || ' ' ||
+        |           trim('Doc ' || doc_id || ' ' || text) AS text,
+        |         lang, source
+        |  FROM documents),
+        |""".stripMargin + gopherOnWeb +
+      """,
+        |keep AS (SELECT doc_id FROM r WHERE reason IS NULL),
+        |d1 AS (
+        |  SELECT d.doc_id, d.text, d.lang AS stratum, d.source,
+        |         CAST(length(d.text) AS BIGINT) AS n_chars
+        |  FROM web d JOIN keep USING (doc_id)),
+        |reps AS (SELECT min(doc_id) AS doc_id FROM d1 GROUP BY text),
+        |d2 AS (SELECT d1.* FROM d1 JOIN reps USING (doc_id)),
+        |toks2 AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM d2),
+        |tg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 11),
+        |    i -> array_to_string(t[i:i+12], ' ')))) AS gram
+        |  FROM toks2 WHERE len(t) >= 13),
+        |bt AS (
+        |  SELECT doc_id, t[6:40] AS t
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |        FROM web WHERE doc_id % 20 = 0)),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(t) - 11),
+        |    i -> array_to_string(t[i:i+12], ' ')))) AS gram
+        |  FROM bt WHERE len(t) >= 13),
+        |contam AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (gram)),
+        |d3 AS (
+        |  SELECT d2.* FROM d2 LEFT JOIN contam ON d2.doc_id = contam.doc_id
+        |  WHERE contam.doc_id IS NULL),
+        |rk AS (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM d3),
+        |d4 AS (SELECT d3.* FROM d3 JOIN rk USING (doc_id) WHERE rk.rk <= 10),
+        |s5 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                              x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM d4
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 6) <
+        |    CASE stratum WHEN 'en' THEN '800000' WHEN 'de' THEN '400000'
+        |                 ELSE '199999' END),
+        |o AS (
+        |  SELECT doc_id, n,
+        |         CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS off
+        |  FROM s5 WHERE n > 0)
+        |SELECT CAST(c AS BIGINT) AS chunk_id, doc_id,
+        |       CAST(greatest(0, c * 512 - off) AS BIGINT) AS doc_from,
+        |       CAST(least(n, (c + 1) * 512 - off)
+        |            - greatest(0, c * 512 - off) AS BIGINT) AS seg_len
+        |FROM o, unnest(range(off // 512, (off + n - 1) // 512 + 1)) AS u(c)
+        |ORDER BY chunk_id, doc_id""".stripMargin
+    },
     "t_filter_c4" -> (PagedCte +
       """,
         |l AS (

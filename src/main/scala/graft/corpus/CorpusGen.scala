@@ -556,7 +556,8 @@ object CorpusGen {
     * surface as children. `gzipMembers` emits the Common Crawl
     * member-per-record `.warc.gz` convention. */
   def renderWarc(id: Long, html: Array[Byte], noteText: String,
-                 gzipMembers: Boolean): Array[Byte] = {
+                 gzipMembers: Boolean,
+                 footerHtml: Option[Array[Byte]] = None): Array[Byte] = {
     val pageUri = s"http://graft.test/doc$id/page.html"
     val noteUri = s"http://graft.test/doc$id/notes.txt"
     val crlf2 = "\r\n\r\n".getBytes("UTF-8")
@@ -611,7 +612,13 @@ object CorpusGen {
       record("revisit", pageUri, "application/http; msgtype=response",
         Array.empty[Byte]),
       record("metadata", pageUri, "application/warc-fields",
-        "fetchTimeMs: 12\r\n".getBytes("UTF-8")))
+        "fetchTimeMs: 12\r\n".getBytes("UTF-8"))) ++
+      // optional site-shared footer page (a third 2xx payload): the
+      // cross-site boilerplate the t_web_pipeline composition strips
+      footerHtml.map(f => record("response",
+        s"http://graft.test/doc$id/footer.html",
+        "application/http; msgtype=response",
+        http200("text/html; charset=utf-8", f, chunked = false))).toSeq
     if (gzipMembers) recs.map(renderGzip).reduce(_ ++ _)
     else recs.reduce(_ ++ _)
   }

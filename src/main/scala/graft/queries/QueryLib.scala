@@ -113,6 +113,18 @@ object QueryLib extends Serializable {
         val gz = id % 2 == 1
         (if (gz) s"doc$id.warc.gz" else s"doc$id.warc",
           CorpusGen.renderWarc(id, html, s"copy of doc $id", gz))
+      case "warc_site" =>
+        // the "warc" shape plus a SHARED footer page (identical bytes on
+        // every site): the cross-site boilerplate t_web_pipeline's strip
+        // stage must remove by corpus doc-frequency
+        val html = CorpusGen.renderHtml(s"Doc $id", s"Summary $id",
+          Seq("alpha", "beta"), text)
+        val footer = CorpusGen.renderHtml("Footer", "Footer", Seq(),
+          "subscribe to the graft newsletter for updates")
+        val gz = id % 2 == 1
+        (if (gz) s"doc$id.warc.gz" else s"doc$id.warc",
+          CorpusGen.renderWarc(id, html, s"copy of doc $id", gz,
+            footerHtml = Some(footer)))
       case "html_boiler" =>
         (s"doc$id.html", CorpusGen.renderBoilerplateHtml(s"Doc $id", text))
       case "xml" =>
