@@ -199,13 +199,16 @@ object Bench {
         import org.apache.spark.sql.functions._
         val webRuns = (1 to 2).map { _ =>
           val (sec, segs) = time {
+            // nested strip + narrow reassembly: the composition's strip
+            // and body-rebuild stages carry NO text exchange (the
+            // exploded form regrouped full span text — measured ~50 s
+            // slower at tile 40)
             val stripped =
-              graft.ops.SpanOps.stripBoilerplate(spark, spansTiled, 5)
-            val bodies = stripped.filter(col("kind") === "text")
-              .groupBy("doc_id")
-              .agg(concat_ws(" ", transform(array_sort(collect_list(
-                struct(col("pos"), col("text")))), e => e.getField("text")))
-                .as("text"))
+              graft.ops.SpanOps.stripBoilerplateNested(spark, spansTiled, 5)
+            val bodies = stripped.select(col("doc_id"),
+              array_join(transform(
+                filter(col("spans"), sp => sp.getField("kind") === "text"),
+                sp => sp.getField("text")), " ").as("text"))
             val corpus = bodies.select(col("doc_id").cast("long").as("id"),
               col("text"),
               pmod(col("doc_id").cast("long"), lit(3)).cast("string")

@@ -1041,13 +1041,15 @@ object SparkEntry {
           array_sort(collect_list(struct(col("uri"), col("text")))),
           e => struct(lit("text").as("kind"), e.getField("text").as("text"),
             lit("").as("media_ref"), lit(0).as("offset"))).as("spans"))
-      // 4. cross-site boilerplate strip, then rejoin surviving spans
-      val stripped = graft.ops.SpanOps.stripBoilerplate(s, nested, minDocs = 5)
-      val body = stripped
-        .groupBy("doc_id")
-        .agg(concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("text")))),
-          e => e.getField("text"))).as("text"))
+      // 4. cross-site boilerplate strip in the NESTED shape (narrow strip
+      // + narrow body reassembly: the site-assembly groupBy above is the
+      // composition's ONLY text-carrying exchange)
+      val stripped = graft.ops.SpanOps.stripBoilerplateNested(s, nested,
+        minDocs = 5)
+      val body = stripped.select(col("doc_id").cast("long").as("doc_id"),
+        array_join(transform(
+          filter(col("spans"), sp => sp.getField("kind") === "text"),
+          sp => sp.getField("text")), " ").as("text"))
       // 5. five-stage curation over the reassembled bodies
       val meta = QueryLib.documents(s, dir)
         .select(col("doc_id").cast("long").as("doc_id"), col("lang"),

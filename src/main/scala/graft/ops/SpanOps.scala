@@ -67,6 +67,62 @@ object SpanOps {
       .drop("h")
   }
 
+  /** [[stripBoilerplate]] preserving the NESTED (doc_id, spans[]) shape —
+    * and, when the boilerplate set is broadcastable (it is, by
+    * construction: spans repeated across ≥ minDocs documents are nav
+    * bars/footers/notices, a corpus-frequency head), with ZERO text
+    * exchange end to end: per-doc distinct 64-bit span hashes explode
+    * narrowly (8-byte rows are the only shuffle), the over-threshold set
+    * collects to the driver under an enforced bound and broadcasts, and
+    * the strip itself is a narrow per-row filter of the nested array.
+    * Downstream consumers (body reassembly, rendering, packing) then stay
+    * narrow too — the exploded form forces an explode → groupBy(doc)
+    * regroup that shuffles the full span TEXT, which at 100 TB is the
+    * difference between a scan and a corpus-sized exchange (measured: the
+    * tile-40 web composition dropped ~50 s of its wall when reassembly
+    * stopped regrouping exploded rows).
+    *
+    * `maxBoilerHashes` is the explicit scale guard (the ivfPqTopK
+    * pattern): if the over-threshold set exceeds it, this op REFUSES
+    * (use [[stripBoilerplate]], whose anti-join handles an unbounded
+    * verdict side) rather than silently ballooning the driver. Hashing is
+    * fnv64 on both sides of the comparison (same function, executor and
+    * driver), so no SQL/Scala hash-parity assumption exists; a 64-bit
+    * collision can only over-strip a span at ~1e-19 per pair, the
+    * line-dedup trade documented on [[graft.ops.TextOps.lineDedupStats]].
+    * `spans` must be the north-rule Span shape (kind, text, media_ref,
+    * offset) — the fixed input-table schema. Output doc_id is cast to
+    * string (the shape's id type). */
+  def stripBoilerplateNested(spark: SparkSession, docs: DataFrame,
+                             minDocs: Int = 5, idCol: String = "doc_id",
+                             spansCol: String = "spans",
+                             maxBoilerHashes: Int = 5000000): DataFrame = {
+    import spark.implicits._
+    import graft.core.{Span, TextUtil}
+    val typed = docs
+      .select(col(idCol).cast("string").as("_1"), col(spansCol).as("_2"))
+      .as[(String, Seq[Span])]
+    val hashes = typed.flatMap { case (_, spans) =>
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      spans.foreach { sp =>
+        if (sp.kind == "text") seen += TextUtil.fnv64(sp.text)
+      }
+      seen.iterator
+    }.toDF("h")
+    val boiler = hashes.groupBy("h").agg(count(lit(1)).as("ddf"))
+      .filter(col("ddf") >= minDocs)
+      .select("h").as[Long]
+      .head(maxBoilerHashes + 1)
+    require(boiler.length <= maxBoilerHashes,
+      s"boilerplate set exceeds $maxBoilerHashes hashes — this corpus " +
+        "needs the join-based stripBoilerplate (unbounded verdict side)")
+    val bc = spark.sparkContext.broadcast(boiler.toSet)
+    typed.map { case (id, spans) =>
+      (id, spans.filter(sp =>
+        sp.kind != "text" || !bc.value.contains(TextUtil.fnv64(sp.text))))
+    }.toDF(idCol, spansCol)
+  }
+
   /** Render the interleaved spans into model-input text: text spans in
     * order, each media span replaced by a placeholder token (the
     * interleaved-multimodal training prep — images stay addressable via

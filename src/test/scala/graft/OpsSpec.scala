@@ -1086,6 +1086,38 @@ class OpsSpec extends AnyFunSuite {
     assert(dist(1.0, 0.0) == Map("train" -> 4096L))
   }
 
+  test("stripBoilerplateNested: same verdicts as the exploded form, zero text exchange, bounded-set guard") {
+    import graft.core.Span
+    // 8 docs sharing a footer span (df=8 >= 5); unique bodies; media spans
+    val docs = (0L until 8L).map { id =>
+      (id.toString, Seq(
+        Span("text", s"unique body $id", "", 0),
+        Span("image", "", s"m$id", 1),
+        Span("text", "shared footer notice", "", 2)))
+    }.toDF("doc_id", "spans")
+    val nested = graft.ops.SpanOps.stripBoilerplateNested(spark, docs, 5)
+    // media survives; footer dropped; unique text kept, order preserved
+    val byDoc = nested.collect().map(r => r.getString(0) ->
+      r.getSeq[org.apache.spark.sql.Row](1).map(x =>
+        (x.getString(0), x.getString(1)))).toMap
+    assert(byDoc("3") == Seq(("text", "unique body 3"), ("image", "")))
+    // verdict equivalence with the exploded join form
+    val exploded = graft.ops.SpanOps.stripBoilerplate(spark, docs, 5)
+      .select("doc_id", "kind", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    import org.apache.spark.sql.functions.{col => fcol, explode => fexplode}
+    val flatNested = nested.select(fcol("doc_id"),
+        fexplode(fcol("spans")).as("sp"))
+      .select(fcol("doc_id"), fcol("sp.kind"), fcol("sp.text")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(flatNested == exploded)
+    // the enforced driver bound refuses oversized boilerplate sets
+    intercept[IllegalArgumentException] {
+      graft.ops.SpanOps.stripBoilerplateNested(spark, docs, minDocs = 5,
+        maxBoilerHashes = 0)
+    }
+  }
+
   test("packInterleavedPatches: planted dims change chunk boundaries; missing dims cost 1") {
     import graft.core.Span
     // doc 1: 3 text tokens + image m1 (56x28 @ patch 28 -> 2x1 = 2 patches)
