@@ -1133,6 +1133,26 @@ object SparkEntry {
           patchSize = 28, contextLen = 512)
         .orderBy("chunk_id", "doc_id")
     }),
+    // caption-pair mining over the interleaved shape: each media span
+    // pairs with the nearest non-empty text span, distance ties broken
+    // toward the following span (figure-caption convention) — pure
+    // nested-array argmin, zero shuffle
+    "i_pairs" -> ((s, dir) => {
+      graft.ops.SpanOps.minePairs(spanDocs(s, dir))
+        .filter(col("caption_pos") >= 0)
+        .orderBy("doc_id", "media_pos")
+    }),
+    // token-budget corpus selection: rank by the stopword-ratio quality
+    // score (desc, id tiebreak), keep the strict order-prefix whose
+    // running token total fits the budget — the distributed prefix sum,
+    // never a global-order window
+    "t_select_budget" -> ((s, dir) => {
+      val score = TextOps.qualityColumns(col("text"))
+        .toMap.apply("stopword_ratio_milli")
+      TextOps.selectByBudget(s, QueryLib.documents(s, dir), "doc_id",
+          "text", score, budgetTokens = 12000L)
+        .orderBy("id")
+    }),
     // corpus vocabulary: token -> (tf, df), top-100 by tf with
     // deterministic tiebreak — the tokenizer-training word count
     "t_vocab" -> ((s, dir) => {
@@ -2706,6 +2726,44 @@ object SparkEntry {
         |            - greatest(0, c * 512 - off) AS BIGINT) AS seg_len
         |FROM o, unnest(range(off // 512, (off + n - 1) // 512 + 1)) AS u(c)
         |ORDER BY chunk_id, doc_id""".stripMargin),
+    "i_pairs" -> (SpanCte +
+      """,
+        |media AS (
+        |  SELECT id, pos AS media_pos, media_ref FROM sp
+        |  WHERE kind <> 'text' AND len(media_ref) > 0),
+        |txt AS (
+        |  SELECT id, pos AS tpos, stext FROM sp
+        |  WHERE kind = 'text' AND len(trim(stext)) > 0),
+        |best AS (
+        |  SELECT m.id, m.media_pos, m.media_ref, t.tpos, t.stext,
+        |         row_number() OVER (PARTITION BY m.id, m.media_pos
+        |           ORDER BY abs(t.tpos - m.media_pos), t.tpos DESC) AS rn
+        |  FROM media m JOIN txt t ON m.id = t.id)
+        |SELECT id AS doc_id, media_pos, media_ref,
+        |       tpos AS caption_pos, stext AS caption
+        |FROM best WHERE rn = 1 ORDER BY doc_id, media_pos""".stripMargin),
+    "t_select_budget" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |                     x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT id,
+        |         CAST(CASE WHEN len(toks) > 0
+        |           THEN floor(len(list_filter(toks, x -> list_contains(
+        |             ['the','a','an','and','or','of','to','in','is','it','on',
+        |              'for','with','as','at','by','that','this','be','are'], x)))
+        |             * 1000 / len(toks)) ELSE 0 END AS BIGINT) AS score,
+        |         CAST(len(toks) AS BIGINT) AS n
+        |  FROM t WHERE len(toks) > 0),
+        |cum AS (
+        |  SELECT id, score, n,
+        |         sum(n) OVER (ORDER BY score DESC, id
+        |                      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c)
+        |SELECT id, score, n AS n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+        |FROM cum WHERE cum <= 12000 ORDER BY id""".stripMargin,
     "t_vocab" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),

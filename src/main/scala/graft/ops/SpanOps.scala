@@ -209,4 +209,61 @@ object SpanOps {
         lit(0L))).as("n"))
     TextOps.packCounted(spark, counts, contextLen)
   }
+
+  /** Caption-pair mining over the interleaved spans shape — the
+    * image-text pair harvest a vision-language corpus build runs over
+    * interleaved documents (the LAION-style alt-text/caption pairing,
+    * applied to the already-extracted span table instead of raw HTML):
+    * each media span pairs with the NEAREST non-empty text span by span
+    * position, distance ties broken toward the FOLLOWING span (figure
+    * captions conventionally follow their figure). One row per media
+    * span: `(doc_id, media_pos, media_ref, caption_pos, caption)`; a
+    * media span in a document with no candidate text emits
+    * `caption_pos = -1` / null caption (caller filters, or routes to an
+    * alt-text fallback).
+    *
+    * Scale shape: ZERO shuffle — candidate positions and the per-media
+    * nearest-text argmin are nested-array expressions (`transform` /
+    * `filter` / `aggregate` with index lambdas) and the output explode
+    * is narrow, so the cost is one scan. The argmin is O(media · text)
+    * on in-row arrays — span counts per document are small by
+    * construction (a document with thousands of spans is an extraction
+    * bug upstream, not a pairing input). */
+  def minePairs(docs: DataFrame, idCol: String = "doc_id",
+                spansCol: String = "spans"): DataFrame = {
+    val sp = col(spansCol)
+    // candidate caption positions (non-empty text spans), ascending
+    val tpos = filter(
+      transform(sp, (x, i) =>
+        when(x.getField("kind") === "text" &&
+          length(trim(x.getField("text"))) > 0, i.cast("long"))
+          .otherwise(lit(-1L))),
+      t => t >= 0)
+    val media = filter(
+      transform(sp, (x, i) => struct(
+        i.cast("long").as("pos"),
+        x.getField("kind").as("kind"),
+        x.getField("media_ref").as("media_ref"))),
+      m => m.getField("kind") =!= "text" &&
+        length(m.getField("media_ref")) > 0)
+    val paired = transform(media, m => {
+      val p = m.getField("pos")
+      // fold over ASCENDING candidates, replacing on distance <= best —
+      // so the later (larger, i.e. following) position wins exact ties
+      val best = aggregate(tpos, lit(-1L), (acc, t) =>
+        when(acc === lit(-1L) || abs(t - p) <= abs(acc - p), t)
+          .otherwise(acc))
+      struct(
+        p.as("media_pos"),
+        m.getField("media_ref").as("media_ref"),
+        best.as("caption_pos"),
+        // get() is 0-based and null at -1 — the no-candidate case
+        get(sp, best.cast("int")).getField("text").as("caption"))
+    })
+    docs.select(col(idCol), explode(paired).as("pr"))
+      .select(col(idCol), col("pr.media_pos").as("media_pos"),
+        col("pr.media_ref").as("media_ref"),
+        col("pr.caption_pos").as("caption_pos"),
+        col("pr.caption").as("caption"))
+  }
 }

@@ -821,6 +821,72 @@ object TextOps {
     segs
   }
 
+  /** Token-budget corpus selection — the data-selection step a
+    * fixed-compute pretraining run makes (the DCLM/FineWeb "best docs
+    * under a token budget" shape): rank documents by `scoreCol`
+    * descending (id ascending as the deterministic tiebreak) and keep
+    * the prefix of that order whose RUNNING token total stays within
+    * `budgetTokens`. Semantics are exactly the window formulation
+    * `sum(n) OVER (ORDER BY score DESC, id) <= budget` — a document that
+    * overflows the budget still consumes its tokens from the running
+    * total (strict-prefix contract, not best-fit backfill), so the
+    * output is a deterministic function of (corpus, score, budget).
+    * Output `(id, score, n_tokens, cum_tokens)`.
+    *
+    * Scale shape: the window formulation is a single-task global sort —
+    * a non-starter at 100 TB. This is the [[packCounted]] distributed
+    * prefix sum on a (score DESC, id) range partitioning instead: one
+    * range exchange of 24-byte rows, per-partition token totals to the
+    * driver (numPartitions longs), then a narrow seeded pass. A
+    * partition whose seed offset already meets the budget short-circuits
+    * to empty without consuming its input, and the emitting pass stops
+    * at the first overflow — at scale the narrow work is proportional
+    * to the SELECTED prefix, not the corpus.
+    *
+    * CONTRACT: like [[packCounted]], the result is returned persisted
+    * (the kept set must never be recomputed against a resampled range
+    * partitioning); the caller unpersists once consumed. */
+  def selectByBudget(spark: org.apache.spark.sql.SparkSession,
+                     df: DataFrame, idCol: String, textCol: String,
+                     scoreCol: Column, budgetTokens: Long): DataFrame = {
+    import spark.implicits._
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val counted = df.select(col(idCol).cast("long").as("id"),
+        scoreCol.cast("long").as("score"),
+        tokenCount(col(textCol)).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .repartitionByRange(col("score").desc, col("id"))
+      .sortWithinPartitions(col("score").desc, col("id"))
+      .as[(Long, Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val partSums = counted.mapPartitions { it =>
+      var s = 0L; it.foreach(s += _._3)
+      Iterator.single((org.apache.spark.TaskContext.getPartitionId(), s))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Long](partSums.length + 1)
+    partSums.foreach { case (pid, s) => offsets(pid + 1) = s }
+    for (i <- 1 until offsets.length) offsets(i) += offsets(i - 1)
+    val bcast = spark.sparkContext.broadcast(offsets)
+    val b = budgetTokens
+    val kept = counted.mapPartitions { it =>
+      var off = bcast.value(org.apache.spark.TaskContext.getPartitionId())
+      // off >= b: even a 1-token doc would overflow — skip the partition
+      // without reading it; takeWhile stops the scan at first overflow
+      // (n >= 1, so once off reaches b nothing later can fit)
+      if (off >= b) Iterator.empty
+      else it.takeWhile(_ => off < b).flatMap { case (id, sc, n) =>
+        val cum = off + n
+        off = cum
+        if (cum <= b) Iterator.single((id, sc, n, cum)) else Iterator.empty
+      }
+    }.toDF("id", "score", "n_tokens", "cum_tokens")
+    val out = kept
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    out.count() // materialize before releasing the range-partitioned input
+    counted.unpersist(false)
+    out
+  }
+
   /** Corpus data card — the per-(dims…) rollup every corpus release
     * ships: document/token/char counts, distinct-content count, and
     * integer milli tokens-per-doc. `dims` is any grouping column list

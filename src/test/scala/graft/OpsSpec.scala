@@ -896,6 +896,51 @@ class OpsSpec extends AnyFunSuite {
       (0L, 1L, 0L, 5L), (1L, 2L, 0L, 5L), (2L, 2L, 5L, 2L)))
   }
 
+  test("minePairs: nearest text wins, following on distance ties, no-text docs emit -1") {
+    import graft.core.Span
+    val docs = Seq(
+      // media@1 ties text@0 vs text@2 -> following (pos 2) wins
+      (1L, Seq(Span("text", "before", "", 0), Span("image", "", "m1", 1),
+        Span("text", "after", "", 2))),
+      // blank text@1 is not a candidate; media@0 and audio@3 both pair
+      // with text@2 (the only candidate)
+      (2L, Seq(Span("image", "", "m2", 0), Span("text", "  ", "", 1),
+        Span("text", "cap", "", 2), Span("audio", "", "m3", 3))),
+      // no candidate text at all -> caption_pos -1, null caption
+      (3L, Seq(Span("image", "", "m4", 0))),
+      // media with empty ref is not a pairing subject
+      (4L, Seq(Span("image", "", "", 0), Span("text", "x", "", 1)))
+    ).toDF("doc_id", "spans")
+    val out = graft.ops.SpanOps.minePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        Option(r.getString(4))))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 1L, "m1", 2L, Some("after")),
+      (2L, 0L, "m2", 2L, Some("cap")),
+      (2L, 3L, "m3", 2L, Some("cap")),
+      (3L, 0L, "m4", -1L, None)))
+  }
+
+  test("selectByBudget: strict-prefix window semantics — overflow consumes budget") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, 5L, "a b c"), // score 5, n 3
+      (2L, 9L, "a b c d"), // score 9, n 4 -> first in order
+      (3L, 5L, "a b"), // score 5, n 2 (id tiebreak after id 1)
+      (4L, 1L, "a"), // score 1, n 1
+      (5L, 9L, "") // empty -> filtered before ranking
+    ).toDF("id", "score", "text")
+    // order: id2 cum 4, id1 cum 7, id3 cum 9, id4 cum 10; budget 8 keeps
+    // {id2, id1}; id3 overflows but still consumed 2 tokens, so id4
+    // (cum 10) must NOT back-fill
+    val out = graft.ops.TextOps.selectByBudget(spark, docs, "id", "text",
+      col("score"), budgetTokens = 8L)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    out.unpersist(false)
+    assert(rows.toSeq == Seq((1L, 7L), (2L, 4L)))
+  }
+
   test("mixEpochs: budgets become milli-epochs; fractional draw is deterministic") {
     val docs = Seq(
       (1L, "en", 100L), (2L, "en", 300L), (3L, "de", 200L),
