@@ -262,4 +262,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       plan.take(2000))
   }
+
+  test("minePairs: zero shuffle — the caption argmin never leaves the row") {
+    import spark.implicits._
+    import graft.core.Span
+    val docs = Seq(
+      (1L, Seq(Span("text", "a", "", 0), Span("image", "", "m", 1))))
+      .toDF("doc_id", "spans")
+    val plan = planOf(graft.ops.SpanOps.minePairs(docs))
+    // nearest-text pairing is nested-array expressions + one narrow
+    // explode: any Exchange means the argmin escaped the row
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("selectByBudget: range exchange only — no global-order window") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    val out = graft.ops.TextOps.selectByBudget(spark,
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+      length(col("text")).cast("long"), budgetTokens = 5000L)
+    val plan = planOf(out)
+    // the naive sum(n) OVER (ORDER BY score DESC, id) would be a Window
+    // over a SinglePartition exchange — the 100 TB non-starter
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("SinglePartition"), plan.take(2000))
+    out.unpersist(false)
+  }
 }
