@@ -301,7 +301,7 @@ object Bench {
         "e_quantize", "m_sessionize", "t_anchors", "t_split",
         "t_split_decontam", "t_uniq_lines",
         "i_spans_strip", "i_spans_render", "i_spans_pack_patches",
-        "i_pairs", "t_select_budget",
+        "i_pairs", "t_select_budget", "t_shard",
         "t_web_pipeline",
         "s_ann_brute", "s_ann_lsh", "s_ann_ivf", "s_ann_ivfpq", "a_patterns",
         "a_thread_join", "m_events_window")

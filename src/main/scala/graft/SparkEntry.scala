@@ -911,6 +911,12 @@ object SparkEntry {
           TextOps.splitColumn(col("doc_id"), "graft", 0.98, 0.01)
             .as("split"))
         .orderBy("doc_id")),
+    // deterministic corpus shuffle + shard assignment (the training-data
+    // writer step): md5-salted shuffle key, 8 equal-width prefix shards,
+    // rank within shard — one id+key exchange, text never shuffles
+    "t_shard" -> ((s, dir) =>
+      TextOps.shardCorpus(QueryLib.documents(s, dir), "doc_id", 8, "s5")
+        .orderBy("id")),
     // within-doc consecutive duplicate-line collapse (uniq): planted
     // nav/content stutters; the oracle derives the cleaned page
     // independently (no algorithm replay)
@@ -2434,6 +2440,26 @@ object SparkEntry {
         |            < 'fd70a3' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_shard" ->
+      """WITH k AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |         md5(CAST(doc_id AS VARCHAR) || 's5') AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT id, h,
+        |    CAST((CASE WHEN substring(h,1,6) >= '200000' THEN 1 ELSE 0 END)
+        |       + (CASE WHEN substring(h,1,6) >= '400000' THEN 1 ELSE 0 END)
+        |       + (CASE WHEN substring(h,1,6) >= '600000' THEN 1 ELSE 0 END)
+        |       + (CASE WHEN substring(h,1,6) >= '800000' THEN 1 ELSE 0 END)
+        |       + (CASE WHEN substring(h,1,6) >= 'a00000' THEN 1 ELSE 0 END)
+        |       + (CASE WHEN substring(h,1,6) >= 'c00000' THEN 1 ELSE 0 END)
+        |       + (CASE WHEN substring(h,1,6) >= 'e00000' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS shard
+        |  FROM k)
+        |SELECT id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, id)
+        |         AS BIGINT) AS pos
+        |FROM s ORDER BY id""".stripMargin,
     "t_uniq_lines" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
         |  'nav' || chr(10) || substring(text, 1, 80) || chr(10) || 'footer'

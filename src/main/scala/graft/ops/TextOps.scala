@@ -887,6 +887,44 @@ object TextOps {
     out
   }
 
+  /** Deterministic corpus shuffle + shard assignment — the writer step
+    * every training-data release runs before export: randomize document
+    * order (so a sequential reader sees an i.i.d.-ish stream) and split
+    * the corpus into `nShards` output shards. Both are pure functions of
+    * (id, salt): the shuffle key is the md5 of the salted id (the same
+    * engine-portable scheme as [[sampleKeep]]/[[splitColumn]]), the
+    * shard is the key's 24-bit-prefix bucket under equal-width
+    * thresholds, and `pos` is the document's rank within its shard under
+    * (key, id) order — so re-runs, repartitioning, and corpus growth
+    * never reorder the documents that stay, and a given (corpus, salt,
+    * nShards) always produces byte-identical shards.
+    * Output `(id, shard, pos)`, `pos` 1-based within shard.
+    *
+    * Scale shape: ONE exchange, hash on `shard`, carrying (8-byte id,
+    * 32-byte key) — text never shuffles; the writer re-joins content by
+    * id (id-only left_semi / bucketed join) or feeds ids to the sink.
+    * Each shard sorts its own run in one streaming task, so pick
+    * `nShards` such that corpus_rows/nShards fits a task's spill budget
+    * (at 10^10 docs and 4096 shards that is ~100 MB of key rows per
+    * shard — comfortably a single sort spill at most). */
+  def shardCorpus(df: DataFrame, idCol: String, nShards: Int,
+                  salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val key = md5(concat(col(idCol).cast("string"), lit(salt)))
+    // equal-width 24-bit-prefix buckets; thresholds are exact integer
+    // division so both engines derive identical literals
+    val thrs = (1 until nShards).map(i => f"${(i.toLong << 24) / nShards}%06x")
+    val shard = thrs.foldLeft(lit(0)) { (acc, t) =>
+      acc + when(substring(key, 1, 6) >= t, 1).otherwise(0) }
+    df.select(col(idCol).cast("long").as("id"), key.as("skey"),
+        shard.cast("long").as("shard"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy("shard").orderBy("skey", "id"))
+        .cast("long"))
+      .select("id", "shard", "pos")
+  }
+
   /** Corpus data card — the per-(dims…) rollup every corpus release
     * ships: document/token/char counts, distinct-content count, and
     * integer milli tokens-per-doc. `dims` is any grouping column list

@@ -941,6 +941,37 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 7L), (2L, 4L)))
   }
 
+  test("shardCorpus: shard + rank match an independent md5 derivation; stable under growth") {
+    import org.apache.spark.sql.functions.col
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def expect(ids: Seq[Long], n: Int, salt: String): Seq[(Long, Long, Long)] = {
+      val keyed = ids.map(id => (id, md5hex(s"$id$salt")))
+      val thrs = (1 until n).map(i => f"${(i.toLong << 24) / n}%06x")
+      val sharded = keyed.map { case (id, h) =>
+        (id, thrs.count(t => h.substring(0, 6) >= t).toLong, h) }
+      sharded.groupBy(_._2).toSeq.flatMap { case (sh, grp) =>
+        grp.sortBy(g => (g._3, g._1)).zipWithIndex
+          .map { case ((id, _, _), i) => (id, sh, i + 1L) }
+      }.sortBy(_._1)
+    }
+    val ids = (1L to 200L)
+    val out = graft.ops.TextOps.shardCorpus(
+        ids.toDF("doc_id"), "doc_id", 8, "x").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(out == expect(ids, 8, "x"))
+    // growth stability: adding docs never reorders survivors relative to
+    // each other (their pairwise within-shard order is pinned by the key)
+    val grown = graft.ops.TextOps.shardCorpus(
+        (1L to 400L).toDF("doc_id"), "doc_id", 8, "x").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val oldOrder = out.groupBy(_._2).view.mapValues(_.sortBy(_._3).map(_._1)).toMap
+    val newOrder = grown.filter(_._1 <= 200L).groupBy(_._2).view
+      .mapValues(_.sortBy(_._3).map(_._1)).toMap
+    assert(oldOrder == newOrder)
+  }
+
   test("mixEpochs: budgets become milli-epochs; fractional draw is deterministic") {
     val docs = Seq(
       (1L, "en", 100L), (2L, "en", 300L), (3L, "de", 200L),

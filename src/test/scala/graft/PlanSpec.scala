@@ -275,6 +275,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("shardCorpus: one shard-hash exchange of id+key rows; text never read") {
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    val out = graft.ops.TextOps.shardCorpus(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", 8, "s5")
+    val plan = planOf(out)
+    // the within-shard rank must partition by shard, never collapse to one
+    assert(!plan.contains("SinglePartition"), plan.take(2000))
+    assert(plan.linesIterator.count(_.trim.startsWith("+- Exchange")) == 1,
+      plan.take(2000))
+    val scan = plan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail("no parquet scan"))
+    assert(scan.contains("doc_id") && !scan.contains("text"), scan)
+  }
+
   test("selectByBudget: range exchange only — no global-order window") {
     assume(new java.io.File(s"$sfDir/documents.parquet").exists)
     val out = graft.ops.TextOps.selectByBudget(spark,
