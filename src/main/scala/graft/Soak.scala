@@ -253,13 +253,25 @@ object Soak {
       graft.ops.Dedup.corpusDiff(
         soakBodies.select($"id", $"body"), cur, "id", "body").count()
     }
+    // the release-writer step at corpus scale: token-budget selection
+    // (distributed prefix sum, longest-first) then the deterministic
+    // shuffle/shard assignment of the kept set into 1024 shards — the
+    // kept count is a deterministic pin of (corpus, score, budget)
+    val shardRows = phase("select_and_shard") {
+      val kept = graft.ops.TextOps.selectByBudget(spark, soakBodies, "id",
+        "body", length($"body").cast("long"), budgetTokens = 50000000L)
+      val n = graft.ops.TextOps.shardCorpus(kept.select($"id"), "id",
+        1024, "soak").count()
+      kept.unpersist(false)
+      n
+    }
     soakBodies.unpersist(false)
 
     val total = phases.values.sum
     val pipeSec = phases("pipeline_durable")
     val qs = phases.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"soak_total","value":$total%.3f,"unit":"sec","phases":$qs,"n_docs":$nDocs,"meta_rows":$metaCount,"dedup_rows":$dedupCount,"distinct_bodies":$distinctBodies,"neardup_pairs":$pairCount,"spans_kept":$stripCount,"dupsub_docs_touched":$dupsubCount,"pagerank_top_micro":$prTop,"curate_kept":$curateKept,"pack_chunks":$packChunks,"incr_dups":$incrDups,"robots_allowed":$robotsAllowed,"diff_rows":$diffRows,"docs_per_sec":${metaCount / math.max(pipeSec, 1e-9)}%.1f,"pending_partitions":$parts,"shuffle_partitions":${math.max(cpus.toInt * 2, 256)},"peak_heap_mib":${peakHeap / (1 << 20)},"cpus":$cpus}""")
+    println(f"""{"metric":"soak_total","value":$total%.3f,"unit":"sec","phases":$qs,"n_docs":$nDocs,"meta_rows":$metaCount,"dedup_rows":$dedupCount,"distinct_bodies":$distinctBodies,"neardup_pairs":$pairCount,"spans_kept":$stripCount,"dupsub_docs_touched":$dupsubCount,"pagerank_top_micro":$prTop,"curate_kept":$curateKept,"pack_chunks":$packChunks,"incr_dups":$incrDups,"robots_allowed":$robotsAllowed,"diff_rows":$diffRows,"select_shard_rows":$shardRows,"docs_per_sec":${metaCount / math.max(pipeSec, 1e-9)}%.1f,"pending_partitions":$parts,"shuffle_partitions":${math.max(cpus.toInt * 2, 256)},"peak_heap_mib":${peakHeap / (1 << 20)},"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -910,13 +910,19 @@ object TextOps {
   def shardCorpus(df: DataFrame, idCol: String, nShards: Int,
                   salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(nShards > 0, s"nShards must be positive: $nShards")
+    require(nShards > 0 && nShards <= (1 << 24),
+      s"nShards must be in [1, 2^24]: $nShards")
     val key = md5(concat(col(idCol).cast("string"), lit(salt)))
-    // equal-width 24-bit-prefix buckets; thresholds are exact integer
-    // division so both engines derive identical literals
-    val thrs = (1 until nShards).map(i => f"${(i.toLong << 24) / nShards}%06x")
-    val shard = thrs.foldLeft(lit(0)) { (acc, t) =>
-      acc + when(substring(key, 1, 6) >= t, 1).otherwise(0) }
+    // equal-width 24-bit-prefix bucket, computed arithmetically:
+    // floor(prefix24 * n / 2^24). O(1) per row at any shard count (a
+    // per-threshold comparison cascade is O(n) per row AND a depth-n
+    // expression tree — a 1024-shard soak run overflowed the planner
+    // stack). Whenever n divides 2^24 (any power of two) this is
+    // EXACTLY the count-of-thresholds-below formulation the n=8 DuckDB
+    // oracle replays; for other n the bucket edges are the same
+    // floor-spaced cut points.
+    val prefix = conv(substring(key, 1, 6), 16, 10).cast("long")
+    val shard = (prefix * nShards) / lit(1L << 24)
     df.select(col(idCol).cast("long").as("id"), key.as("skey"),
         shard.cast("long").as("shard"))
       .withColumn("pos", row_number()

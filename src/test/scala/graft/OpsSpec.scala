@@ -970,6 +970,13 @@ class OpsSpec extends AnyFunSuite {
     val newOrder = grown.filter(_._1 <= 200L).groupBy(_._2).view
       .mapValues(_.sortBy(_._3).map(_._1)).toMap
     assert(oldOrder == newOrder)
+    // regression: a large shard count must stay O(1) per row — the
+    // per-threshold cascade was a depth-n expression tree that overflowed
+    // the planner stack at nShards=1024 in the 4M soak
+    val wide = graft.ops.TextOps.shardCorpus(
+        (1L to 2000L).toDF("doc_id"), "doc_id", 1024, "x").collect()
+      .map(r => r.getLong(1))
+    assert(wide.forall(s => s >= 0 && s < 1024) && wide.distinct.length > 500)
   }
 
   test("mixEpochs: budgets become milli-epochs; fractional draw is deterministic") {
