@@ -226,9 +226,11 @@ object Bench {
             val s = graft.ops.TextOps.packSequences(spark, surv, "id",
               "text", 2048)
             s.count()
-            s
+            (stripped, s)
           }
-          segs.unpersist(false)
+          // both ops return persisted frames (caller-release contract)
+          segs._1.unpersist(false)
+          segs._2.unpersist(false)
           sec
         }
         results += ("web_tile" -> webRuns.min)

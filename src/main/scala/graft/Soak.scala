@@ -155,9 +155,12 @@ object Soak {
         val toks = graft.core.TextUtil.tokens(b)
         (id + 1L, toks.take(math.max(toks.length / 2, 21)).mkString(" "))
       }.toDF("id", "body")
-      graft.ops.TextOps.stripDupSubstrings(spark,
-          bodies.unionByName(halves), "id", "body")
-        .filter($"n_removed" > 0).count()
+      // returns persisted (caller-release contract)
+      val cleaned = graft.ops.TextOps.stripDupSubstrings(spark,
+        bodies.unionByName(halves), "id", "body")
+      val n = cleaned.filter($"n_removed" > 0).count()
+      cleaned.unpersist(false)
+      n
     }
 
     // 6. the ITERATIVE PageRank path (the fast path is for toy graphs)

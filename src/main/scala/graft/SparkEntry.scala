@@ -1016,8 +1016,11 @@ object SparkEntry {
       val docs0 = QueryLib.documents(s, dir)
         .select(col("doc_id").cast("long"), col("text"))
         .as[(Long, String)].collect()
+      // per-process dir: a concurrent Verify/Bench pair on the same
+      // corpus must not delete each other's WARC files mid-crawl
       val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_webpipe_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        "graft_webpipe_" + ProcessHandle.current().pid() + "_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
       def deleteRec(f: java.io.File): Unit = {
         val kids = f.listFiles()
         if (kids != null) kids.foreach(deleteRec)

@@ -92,7 +92,12 @@ object SpanOps {
     * line-dedup trade documented on [[graft.ops.TextOps.lineDedupStats]].
     * `spans` must be the north-rule Span shape (kind, text, media_ref,
     * offset) — the fixed input-table schema. Output doc_id is cast to
-    * string (the shape's id type). */
+    * string (the shape's id type).
+    *
+    * Single-pass contract: the input is consumed by two jobs (boiler
+    * discovery, strip), so the typed projection persists across them and
+    * releases before return; the STRIPPED RESULT comes back
+    * persisted+materialized — the caller unpersists once consumed. */
   def stripBoilerplateNested(spark: SparkSession, docs: DataFrame,
                              minDocs: Int = 5, idCol: String = "doc_id",
                              spansCol: String = "spans",
@@ -102,13 +107,21 @@ object SpanOps {
     val typed = docs
       .select(col(idCol).cast("string").as("_1"), col(spansCol).as("_2"))
       .as[(String, Seq[Span])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // null-text spans are never boilerplate candidates and never strip
+    // (parity with the exploded stripBoilerplate, where xxhash64(null)
+    // is SQL-null and drops out of both the df count and the match)
     val hashes = typed.flatMap { case (_, spans) =>
       val seen = scala.collection.mutable.HashSet.empty[Long]
       spans.foreach { sp =>
-        if (sp.kind == "text") seen += TextUtil.fnv64(sp.text)
+        if (sp.kind == "text" && sp.text != null)
+          seen += TextUtil.fnv64(sp.text)
       }
       seen.iterator
     }.toDF("h")
+    // this discovery job materializes the typed cache: the strip pass
+    // below reads it instead of re-running the (possibly expensive)
+    // upstream reassembly a second time
     val boiler = hashes.groupBy("h").agg(count(lit(1)).as("ddf"))
       .filter(col("ddf") >= minDocs)
       .select("h").as[Long]
@@ -117,10 +130,15 @@ object SpanOps {
       s"boilerplate set exceeds $maxBoilerHashes hashes — this corpus " +
         "needs the join-based stripBoilerplate (unbounded verdict side)")
     val bc = spark.sparkContext.broadcast(boiler.toSet)
-    typed.map { case (id, spans) =>
+    val out = typed.map { case (id, spans) =>
       (id, spans.filter(sp =>
-        sp.kind != "text" || !bc.value.contains(TextUtil.fnv64(sp.text))))
+        sp.kind != "text" || sp.text == null ||
+          !bc.value.contains(TextUtil.fnv64(sp.text))))
     }.toDF(idCol, spansCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    out.count() // pin the stripped result, then release the input cache
+    typed.unpersist(false)
+    out
   }
 
   /** Render the interleaved spans into model-input text: text spans in

@@ -136,10 +136,11 @@ object TextOps {
     * (persisted, explicitly materialized so the dup aggregation and the
     * coverage join read the cache instead of racing to recompute it) and
     * once in the final rewrite pass, which is inherent (the rewrite must
-    * read the text). The position cache releases before return; only the
-    * small covered-starts side (docs that carry duplicates) stays
-    * persisted under the caller-unpersist/sweep contract, so the lazy
-    * result can be consumed repeatedly without re-running discovery. */
+    * read the text). Both internal caches (positions, covered-starts)
+    * release before return; the REWRITTEN RESULT is what comes back
+    * persisted+materialized, so the caller holds the release handle
+    * (unpersist once consumed — a cache the caller cannot reach is a
+    * leak in any long-lived session). */
   def stripDupSubstrings(spark: org.apache.spark.sql.SparkSession,
                          df: DataFrame, idCol: String, textCol: String,
                          n: Int = 20): DataFrame = {
@@ -188,7 +189,7 @@ object TextOps {
     covered.count() // dup-carrying docs only — small; pin, then release
     positions.unpersist(false)
     val nn = n
-    docs.join(covered, Seq("id"), "left")
+    val out = docs.join(covered, Seq("id"), "left")
       .select(col("id"), col("text"), coalesce(col("starts"),
         array().cast("array<int>")).as("starts"))
       .as[(Long, String, Seq[Int])]
@@ -214,6 +215,10 @@ object TextOps {
         (id, kept.toString, toks.length.toLong, removed)
       })
       .toDF(idCol, "clean_text", "n_tokens", "n_removed")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    out.count() // pin the rewrite, then release the covered-starts cache
+    covered.unpersist(false)
+    out
   }
 
   /** BM25 top-k retrieval over the corpus (Robertson/Lucene form:
@@ -308,7 +313,13 @@ object TextOps {
     val docs = df.select(col(idCol).cast("long").as("id"), col(textCol))
     val pairs = docs.as[(Long, String)]
       .flatMap { case (id, t) =>
-        val toks = graft.core.TextUtil.tokens(if (t == null) "" else t)
+        // the ASCII \s+ split of [[tokenize]] — NOT TextUtil.tokens
+        // (Unicode whitespace): the DuckDB oracle and the unigram side
+        // historically tokenize on \s+, and both sides of the model must
+        // use ONE tokenizer or NBSP-joined words count differently in
+        // U(w1) vs B(w1,w2)
+        val toks = (if (t == null) "" else t)
+          .split("""\s+""").filter(_.nonEmpty)
         toks.indices.iterator.map(i =>
           (id, toks(i), if (i + 1 < toks.length) toks(i + 1) else null))
       }

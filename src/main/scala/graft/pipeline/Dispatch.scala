@@ -70,8 +70,12 @@ object Dispatch {
     // a source listed this file but could not materialize it (over the
     // per-file byte cap): the reference's processingError contract
     // (`manager.py:229-234`) — a deterministic failure row, not a silent
-    // skip, so the lineage accounts for every listed input
-    if (mimeHint == graft.sources.Sources.OversizeMime)
+    // skip, so the lineage accounts for every listed input. The sentinel
+    // travels in-band as a mime string, so it only short-circuits when
+    // the bytes are genuinely absent — a crawled document whose hostile
+    // Content-Type collides with the sentinel still has its real bytes
+    // and must be classified normally (magic bytes win)
+    if (mimeHint == graft.sources.Sources.OversizeMime && bytes.isEmpty)
       return Ingested("", mimeHint,
         ExtractionResult.failure("Document",
           s"Failed to ingest [$fileName]: file exceeds the per-file size " +

@@ -86,24 +86,29 @@ object Sources {
     * instead of vanishing in a silent filter. */
   val OversizeMime = "application/x-graft-oversize"
 
-  /** Listing → pending docs, split at the byte cap. The cap defaults to
-    * `Int.MaxValue` because a JVM byte array holds at most 2^31−1 bytes —
-    * the previous 2 GiB (= 2^31) default admitted a file of exactly 2 GiB,
-    * which binaryFile cannot materialize and fails on opaquely. Oversize
-    * rows never touch `content` (the scan prunes the column), so listing
-    * them is free; they emit a zero-byte [[OversizeMime]] pending doc that
-    * becomes a per-file failure row downstream. */
+  /** Listing → pending docs, split at the byte cap. Any requested cap is
+    * clamped to the JVM byte-array ceiling (`Int.MaxValue − 8`) rather
+    * than rejected — the previous 2 GiB (= 2^31) default admitted a file
+    * of exactly 2 GiB, which binaryFile cannot materialize and fails on
+    * opaquely, and callers written against that old default keep working.
+    * Oversize rows never touch `content` (the scan prunes the column), so
+    * listing them is free; they emit a zero-byte [[OversizeMime]] pending
+    * doc that becomes a per-file failure row downstream. */
   private[graft] def fromWarcListing(spark: SparkSession,
                                        listing: org.apache.spark.sql.DataFrame,
                                        prefixes: Seq[String],
                                        maxBytesPerFile: Long): Dataset[PendingDoc] = {
     import spark.implicits._
-    require(maxBytesPerFile > 0 && maxBytesPerFile <= Int.MaxValue.toLong,
-      s"maxBytesPerFile must be in (0, 2^31-1]: $maxBytesPerFile")
-    val ok = listing.filter(col("length") <= maxBytesPerFile)
+    require(maxBytesPerFile > 0,
+      s"maxBytesPerFile must be positive: $maxBytesPerFile")
+    // clamp rather than reject: a caller passing the old 2 GiB default
+    // (or anything larger) gets the JVM byte-array ceiling, which is the
+    // strictest cap binaryFile can materialize anyway
+    val cap = math.min(maxBytesPerFile, Int.MaxValue.toLong - 8)
+    val ok = listing.filter(col("length") <= cap)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
       .flatMap((warcPending(prefixes) _).tupled)
-    val over = listing.filter(col("length") > maxBytesPerFile)
+    val over = listing.filter(col("length") > cap)
       .select(col("path")).as[String]
       .map { p =>
         val rel = relativize(p, prefixes)
@@ -119,7 +124,15 @@ object Sources {
     val rel = relativize(path, prefixes)
     graft.extract.Warc.payloads(graft.extract.Warc.plainBytes(bytes))
       .iterator.zipWithIndex.map { case ((uri, mime, body), i) =>
-        PendingDoc(s"$rel#$i", "", Seq.empty, 0, uri, mime, body)
+        // the Content-Type header is attacker-controlled; a value that
+        // collides with an internal dispatch sentinel must not be able
+        // to spoof the sentinel's short-circuit path — blank it so the
+        // payload classifies by magic bytes
+        val safeMime =
+          if (mime == OversizeMime ||
+              mime == graft.extract.Rar.UnsupportedMemberMime) ""
+          else mime
+        PendingDoc(s"$rel#$i", "", Seq.empty, 0, uri, safeMime, body)
       }
   }
 

@@ -1199,6 +1199,22 @@ class OpsSpec extends AnyFunSuite {
       graft.ops.SpanOps.stripBoilerplateNested(spark, docs, minDocs = 5,
         maxBoilerHashes = 0)
     }
+    nested.unpersist(false)
+    // null-text spans: never boilerplate candidates, never stripped, no
+    // NPE (parity with the exploded form, where xxhash64(null) is
+    // SQL-null and drops out of both sides)
+    val withNull = (0L until 6L).map { id =>
+      (id.toString, Seq(
+        Span("text", null, "", 0),
+        Span("text", "common chrome", "", 1)))
+    }.toDF("doc_id", "spans")
+    val strippedNull = graft.ops.SpanOps.stripBoilerplateNested(
+      spark, withNull, 5)
+    val kinds = strippedNull.collect().map(r =>
+      r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => Option(x.getString(1)))).toMap
+    assert(kinds("2") == Seq(None)) // null span kept, shared chrome gone
+    strippedNull.unpersist(false)
   }
 
   test("packInterleavedPatches: planted dims change chunk boundaries; missing dims cost 1") {

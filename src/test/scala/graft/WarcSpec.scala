@@ -116,9 +116,35 @@ class WarcSpec extends AnyFunSuite {
     val e = Sources.fromWarcListing(spark, edge, prefixes,
       Int.MaxValue.toLong).collect()
     assert(e.length == 1 && e(0).mime_hint == Sources.OversizeMime)
-    // the old 2 GiB default is no longer even accepted as a cap
-    intercept[IllegalArgumentException] {
-      Sources.fromWarcListing(spark, edge, prefixes, 2147483648L)
+    // the old 2 GiB default clamps to the JVM array ceiling instead of
+    // throwing: the 2^31-byte row is still over-cap under the clamp
+    val clamped = Sources.fromWarcListing(spark, edge, prefixes, 2147483648L)
+      .collect()
+    assert(clamped.length == 1 && clamped(0).mime_hint == Sources.OversizeMime)
+  }
+
+  test("sentinel mimes cannot be spoofed by crawled content") {
+    // a response whose hostile Content-Type collides with an internal
+    // dispatch sentinel: the source blanks it so the payload classifies
+    // by magic bytes instead of short-circuiting into a failure row
+    def warcWith(ct: String): Array[Byte] = {
+      val http = ("HTTP/1.1 200 OK\r\nContent-Type: " + ct +
+        "\r\nContent-Length: 5\r\n\r\nhello").getBytes("UTF-8")
+      val head = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: http://x/y\r\n" +
+        "Content-Type: application/http;msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("UTF-8")
+      head ++ http ++ "\r\n\r\n".getBytes("UTF-8")
     }
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-spoof")
+    java.nio.file.Files.write(dir.resolve("spoof.warc"),
+      warcWith(Sources.OversizeMime))
+    val docs = Sources.fromWarcs(spark, dir.toString).collect()
+    assert(docs.length == 1 && docs(0).mime_hint == "" &&
+      new String(docs(0).bytes, "UTF-8") == "hello")
+    // and dispatch itself refuses the short-circuit when bytes exist
+    val ing = graft.pipeline.Dispatch.ingest("x", Sources.OversizeMime,
+      "hello there friend".getBytes("UTF-8"))
+    assert(!ing.result.error.contains("per-file size cap"), ing)
   }
 }
