@@ -250,6 +250,12 @@ object Dedup {
     * signatures (256 bytes per pair, no text ever rides the pair join) —
     * the 100 TB mode when near-dup density makes the pair count itself
     * quadratic-ish (see the sig8 branch comment for the estimator).
+    * CONTRACT (sig8 only): the pair result comes back persisted AND
+    * materialized (the internal signature cache must release before
+    * return, and sig8 callers run several actions over the pairs); the
+    * caller `unpersist(false)`s it once consumed — [[dedupCorpus]] does,
+    * Verify/Bench sweep `getPersistentRDDs`. Exact-verify results stay
+    * fully lazy as before.
     *
     * `pairing`: "all" (default) enumerates every in-bucket pair — the
     * oracle-grade contract; "star" links members to the bucket's min-id
@@ -280,36 +286,53 @@ object Dedup {
         minhashSignatureOph(sh.iterator.map(hashToken), k)
       else minhashSignature(sh.iterator.map(hashToken), k)
     }
-    // band keys per doc
-    val banded = docs.mapPartitions(_.flatMap { case (id, text) =>
-      val sig = sigOf(text)
-      if (sig == null) Iterator.empty
-      else (0 until bands).iterator.map { b =>
-        var h = 1125899906842597L ^ b
-        var r = 0
-        while (r < rows) { h = h * 1000003L + sig(b * rows + r); r += 1 }
-        (b, h, id)
-      }
-    }).toDF("band", "bucket", "id")
-      .transform { b =>
-        if (maxBucket == Int.MaxValue) b
-        else {
-          // the count window shuffles on (band, bucket) — the same key the
-          // self-join below needs, so AQE reuses the exchange
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy("band", "bucket")
-          b.withColumn("_n", count(lit(1)).over(w))
-            .filter(col("_n") <= maxBucket).drop("_n")
+    // sig8 verification consumes the SAME per-doc signature twice (band
+    // keys + verifier bytes) and the upstream doc subtree may itself be
+    // expensive — compute the signature pass ONCE, pinned (r6; previously
+    // the signature ran once for banding and again for the sig8 table,
+    // and re-ran per downstream action on the unpersisted result). The
+    // exact-verify mode has a single signature consumer (band keys; the
+    // verifier re-reads text), so it stays fully lazy.
+    val sigsCached =
+      if (verify == "sig8")
+        Some(docs.mapPartitions(_.flatMap { case (id, text) =>
+          val sig = sigOf(text)
+          if (sig == null) Iterator.empty else Iterator.single((id, sig))
+        }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+      else None
+    sigsCached.foreach(_.count()) // pin before the two consumers race
+    def bandKeys(idSig: Iterator[(Long, Array[Long])]): Iterator[(Int, Long, Long)] =
+      idSig.flatMap { case (id, sig) =>
+        (0 until bands).iterator.map { b =>
+          var h = 1125899906842597L ^ b
+          var r = 0
+          while (r < rows) { h = h * 1000003L + sig(b * rows + r); r += 1 }
+          (b, h, id)
         }
       }
+    // band keys per doc
+    val banded = (sigsCached match {
+      case Some(sigs) => sigs.mapPartitions(bandKeys)
+      case None => docs.mapPartitions(it => bandKeys(it.flatMap {
+        case (id, text) =>
+          val sig = sigOf(text)
+          if (sig == null) Iterator.empty else Iterator.single((id, sig))
+      }))
+    }).toDF("band", "bucket", "id")
 
+    val guardW = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bucket")
     val candidates = pairing match {
       case "all" =>
         // bucket self-join → ALL candidate pairs (dedup across bands).
         // Columns are renamed per side: alias-only self-joins misresolve
         // the l/r attributes (same attribute ids on both sides).
-        val lSide = banded.toDF("band", "bucket", "id_a")
-        val rSide = banded.toDF("band", "bucket", "id_b")
+        val guarded =
+          if (maxBucket == Int.MaxValue) banded
+          else banded.withColumn("_n", count(lit(1)).over(guardW))
+            .filter(col("_n") <= maxBucket).drop("_n")
+        val lSide = guarded.toDF("band", "bucket", "id_a")
+        val rSide = guarded.toDF("band", "bucket", "id_b")
         lSide.join(rSide, Seq("band", "bucket"))
           .filter($"id_a" < $"id_b")
           .select($"id_a", $"id_b")
@@ -325,10 +348,17 @@ object Dedup {
         // (union-find over links), not the enumerate-every-pair contract.
         // Recall note: a member is kept only if it verifies against the
         // cluster REPRESENTATIVE (single-link star) — the standard trade.
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bucket")
-        banded.withColumn("rep", min(col("id")).over(w))
-          .filter(col("id") =!= col("rep"))
+        // The maxBucket guard count and the representative min ride ONE
+        // window pass over the same partition spec (r6; two windows cost
+        // a second sort of every bucket) — the guard drops buckets whole,
+        // so min-over-bucket is unchanged by fusing.
+        val withStats =
+          if (maxBucket == Int.MaxValue)
+            banded.withColumn("rep", min(col("id")).over(guardW))
+          else banded.withColumn("_n", count(lit(1)).over(guardW))
+            .withColumn("rep", min(col("id")).over(guardW))
+            .filter(col("_n") <= maxBucket)
+        withStats.filter(col("id") =!= col("rep"))
           .select(col("rep").as("id_a"), col("id").as("id_b"))
           .distinct()
       case other =>
@@ -362,12 +392,10 @@ object Dedup {
         // docs), while sig8 is O(k) per pair with std-err ≈ √(J(1-J)/k)
         // ≈ 0.035 at k=128, J=0.8. Estimator: Ĵ = (f − 1/256)/(1 − 1/256)
         // where f = matching-byte fraction.
-        val sig8s = docs.mapPartitions(_.flatMap { case (id, text) =>
-          val sig = sigOf(text)
-          if (sig == null) Iterator.empty
-          else Iterator.single((id, sig.map(v => (v & 0xff).toByte)))
-        }).toDF("id", "sig")
-        candidates
+        val sig8s = sigsCached.get
+          .map { case (id, sig) => (id, sig.map(v => (v & 0xff).toByte)) }
+          .toDF("id", "sig")
+        val res = candidates
           .join(sig8s.toDF("id_a", "sig_a"), "id_a")
           .join(sig8s.toDF("id_b", "sig_b"), "id_b")
           .select($"id_a", $"id_b", $"sig_a", $"sig_b")
@@ -382,6 +410,14 @@ object Dedup {
           })
           .toDF("id_a", "id_b", "jaccard")
           .filter($"jaccard" >= threshold)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        // materialize the (pair-sized) result so the signature cache can
+        // release NOW — sig8 callers iterate over the pairs (limit-count,
+        // union-find collect), and an unpersisted result would re-run the
+        // whole band+verify chain per action
+        res.count()
+        sigsCached.foreach(_.unpersist(false))
+        res
 
       case other =>
         throw new IllegalArgumentException(s"verify mode: $other")
@@ -539,10 +575,26 @@ object Dedup {
       .join(bodyRep, "h").select(col("id"), col("rep"))
     val reps = withHash.join(bodyRep.withColumnRenamed("rep", "id"), Seq("h", "id"))
       .select(col("id"), col("text"))
-    val links = minhashLsh(spark, reps, "id", "text", threshold, params,
+    // pin the pair set: connectedComponents runs two actions over it (the
+    // fast-path bound probe + the union-find collect / per-iteration
+    // joins) — unpinned, each action re-ran the whole signature + band
+    // + verify chain (r6; sig8 results arrive pinned from minhashLsh)
+    val pairs = minhashLsh(spark, reps, "id", "text", threshold, params,
       maxBucket = maxBucket, verify = verify, pairing = pairing)
-      .select(col("id_a"), col("id_b"))
+    val pinned =
+      if (verify == "sig8") pairs
+      else {
+        val p = pairs
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        p.count()
+        p
+      }
+    val links = pinned.select(col("id_a"), col("id_b"))
     val comp = connectedComponents(spark, links)
+    // comp is independent of the pair cache (driver union-find result or
+    // eager per-iteration localCheckpoints) — release it before returning
+    // the lazy survivor join
+    pinned.unpersist(false)
     idToRep
       .join(comp.withColumnRenamed("id", "rep"), Seq("rep"), "left")
       .select(col("id"),

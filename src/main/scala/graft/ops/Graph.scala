@@ -45,7 +45,11 @@ object Graph {
                dampingPct: Int = 85, scale: Long = 0L,
                maxLocalEdges: Long = 2000000L): DataFrame = {
     def derivedScale(n: Long): Long =
-      if (scale > 0L) scale else math.max(1000000L, n * 1000000L)
+      if (scale > 0L) scale
+      // saturate: n * 1e6 overflows Long past ~9.2e12 nodes and would
+      // yield a negative/garbage grain instead of the footgun-free default
+      else if (n > Long.MaxValue / 1000000L) Long.MaxValue / 2
+      else math.max(1000000L, n * 1000000L)
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .distinct()

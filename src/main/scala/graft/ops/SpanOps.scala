@@ -129,11 +129,16 @@ object SpanOps {
     require(boiler.length <= maxBoilerHashes,
       s"boilerplate set exceeds $maxBoilerHashes hashes — this corpus " +
         "needs the join-based stripBoilerplate (unbounded verdict side)")
-    val bc = spark.sparkContext.broadcast(boiler.toSet)
+    // broadcast a sorted primitive array probed by binary search, not an
+    // immutable Set[Long]: at the 5M-hash bound the boxed set costs
+    // hundreds of MB on the driver and every executor copy, the long[]
+    // 40 MB flat
+    val sorted = boiler.sorted
+    val bc = spark.sparkContext.broadcast(sorted)
     val out = typed.map { case (id, spans) =>
       (id, spans.filter(sp =>
         sp.kind != "text" || sp.text == null ||
-          !bc.value.contains(TextUtil.fnv64(sp.text))))
+          java.util.Arrays.binarySearch(bc.value, TextUtil.fnv64(sp.text)) < 0))
     }.toDF(idCol, spansCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     out.count() // pin the stripped result, then release the input cache

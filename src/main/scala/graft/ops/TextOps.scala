@@ -616,7 +616,8 @@ object TextOps {
   def bpeMerges(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
                 textCol: String, merges: Int = 12,
                 trainFraction: Double = 1.0, sampleSalt: String = "bpe",
-                checkpointEvery: Int = 64): DataFrame = {
+                checkpointEvery: Int = 64,
+                localVocabThreshold: Long = 1000000L): DataFrame = {
     import spark.implicits._
     require(trainFraction > 0.0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1]: $trainFraction")
@@ -633,7 +634,71 @@ object TextOps {
       .select(concat(trim(regexp_replace(col("w"), "(.)", "$1 ")),
         lit(" </w>")).as("sym"), col("c"))
       .persist()
-    words.count() // materialize once; iterations replay narrow ops on top
+    val vocabN = words.count() // materialize once
+    // Driver-bounded fast path (r6, the connectedComponents pattern): the
+    // trainer is inherently driver-sequential — one tiny argmax job per
+    // merge over the vocab-bounded table — so a K-merge training is K
+    // scheduler round-trips (a measured ~0.25 s serial floor each)
+    // regardless of corpus size. Below `localVocabThreshold` distinct
+    // words the table is collected once (≤ ~50 MB at the default) and the
+    // SAME count→argmax→rewrite loop runs in memory: identical merge
+    // table (counts are partition-independent, the tie-break is total),
+    // one job instead of K+1. The distributed loop below remains the
+    // giant-vocab path; callers training 32k merges on real corpora
+    // bound the vocab with `trainFraction` anyway (see COST MODEL).
+    if (vocabN <= localVocabThreshold) {
+      val rows = words.as[(String, Long)].collect()
+      words.unpersist()
+      val syms = rows.map(_._1)
+      val cnts = rows.map(_._2)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long)]
+      var step = 1
+      var exhausted = false
+      while (step <= merges && !exhausted) {
+        val pair = new java.util.HashMap[String, Long]()
+        var i = 0
+        while (i < syms.length) {
+          val parts = syms(i).split(" ")
+          var j = 0
+          while (j < parts.length - 1) {
+            pair.merge(parts(j) + " " + parts(j + 1), cnts(i), _ + _)
+            j += 1
+          }
+          i += 1
+        }
+        if (pair.isEmpty) exhausted = true
+        else {
+          // argmax with the distributed tie-break: count desc, then the
+          // "l asc, r asc" pair order == lexicographic on "l r" (symbols
+          // are space-free, so the joined compare is the column compare)
+          var bestKey: String = null
+          var bestCnt = -1L
+          val it = pair.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue > bestCnt ||
+                (e.getValue == bestCnt && e.getKey < bestKey)) {
+              bestKey = e.getKey; bestCnt = e.getValue
+            }
+          }
+          val sp = bestKey.indexOf(' ')
+          val l = bestKey.substring(0, sp)
+          val r = bestKey.substring(sp + 1)
+          out += ((step.toLong, l, r, bestCnt))
+          val from = " " + l + " " + r + " "
+          val to = " " + l + r + " "
+          i = 0
+          while (i < syms.length) {
+            syms(i) = (" " + syms(i) + " ").replace(from, to).trim
+            i += 1
+          }
+          step += 1
+        }
+      }
+      return spark.createDataFrame(out.toSeq)
+        .toDF("step", "lsym", "rsym", "pair_count")
+    }
     var cur = words
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var step = 1
@@ -684,37 +749,54 @@ object TextOps {
     *
     * Scale shape: the merge table is a driver-side artifact (K entries —
     * the trained tokenizer, same role as a broadcast model); the corpus
-    * pays ONE map-side-combined word-count exchange, then the K replaces
-    * fold into one narrow codegen'd expression chain over the
-    * vocab-bounded table. Nothing else shuffles; at 100 TB the encode
-    * cost is the word count. Per-document token sequences (rather than
-    * the vocab table) would be the same fold applied before the groupBy —
-    * narrow either way. */
+    * pays ONE map-side-combined word-count exchange, then the K merges
+    * apply in a single narrow mapPartitions fold over the vocab-bounded
+    * table ([[encodeWordBpe]] — O(K·len) per word, per-task state is the
+    * closure-shipped merge list). Nothing else shuffles; at 100 TB the
+    * encode cost is the word count. The r5 formulation stacked the K
+    * merges as a K-deep `replace` EXPRESSION chain instead, which at a
+    * realistic 32k-merge vocab blows whole-stage codegen's 64 KB method
+    * limit (interpreted fallback) and makes Catalyst analysis quadratic
+    * in K — the narrow Scala fold has the same single plan node at any
+    * K. */
   def bpeEncode(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
                 textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
     merges.foreach { case (l, r) =>
       require((l + r).matches("[a-z</>]+"), s"unsafe merge symbol: '$l','$r'")
     }
-    val words = df
-      .select(explode(tokenize(col(textCol))).as("w"))
+    val ms = merges.toArray
+    df.select(explode(tokenize(col(textCol))).as("w"))
       .select(lower(col("w")).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-    words.select(col("w").as("word"), mergeFold(col("w"), merges).as("pieces"),
-      col("n").cast("long").as("n"))
+      .as[(String, Long)]
+      .mapPartitions(_.map { case (w, n) => (w, encodeWordBpe(w, ms), n) })
+      .toDF("word", "pieces", "n")
   }
 
   /** `word` → its space-joined BPE pieces ending in `</w>`: the initial
-    * char-split symbol string rewritten by each merge in order (the same
-    * single-pass space-bounded literal replace the trainer uses). Shared
-    * by [[bpeEncode]] (vocab-table form) and [[bpeRoundtrip]] (per-doc
-    * form); pure codegen'd expression chain either way. */
-  private def mergeFold(word: Column, merges: Seq[(String, String)]): Column = {
-    val sym0 = concat(trim(regexp_replace(word, "(.)", "$1 ")), lit(" </w>"))
-    merges.foldLeft(sym0) { case (c, (l, r)) =>
-      trim(org.apache.spark.sql.functions.replace(
-        concat(lit(" "), c, lit(" ")), lit(s" $l $r "), lit(s" $l$r ")))
+    * char-split symbol string rewritten by each merge in order — the SAME
+    * single-pass left-to-right space-bounded literal replace the trainer
+    * uses ([[bpeMerges]]' rewrite step), so encode(trainCorpus)
+    * reproduces the trainer's final symbol table exactly. Plain Scala
+    * (one narrow map stage), applied per word by [[bpeEncode]] /
+    * [[bpeRoundtrip]]; O(merges · word length). */
+  private[ops] def encodeWordBpe(w: String,
+                                 merges: Array[(String, String)]): String = {
+    val sb = new java.lang.StringBuilder(w.length * 2 + 5)
+    var i = 0
+    while (i < w.length) { sb.append(w.charAt(i)); sb.append(' '); i += 1 }
+    sb.append("</w>")
+    var sym = sb.toString
+    var k = 0
+    while (k < merges.length) {
+      val (l, r) = merges(k)
+      sym = (" " + sym + " ").replace(" " + l + " " + r + " ",
+        " " + l + r + " ").trim
+      k += 1
     }
+    sym
   }
 
   /** BPE DECODE, exercised as the full per-document roundtrip a training
@@ -730,26 +812,61 @@ object TextOps {
     * unmerged char-split would inflate it).
     *
     * Scale shape: the merge table is a driver-side broadcast-sized
-    * artifact folded into ONE narrow codegen'd expression chain
-    * (transform-lambda over the token array); no join, no shuffle —
-    * decode cost at 100 TB is the scan. */
+    * artifact applied in ONE narrow mapPartitions (no join, no shuffle —
+    * decode cost at 100 TB is the scan), with a per-task word→pieces
+    * memo so each distinct word in a partition pays the O(K·len)
+    * [[encodeWordBpe]] fold once instead of once per occurrence. The r5
+    * formulation inlined the K merges as a K-deep replace-expression
+    * chain inside a transform lambda — per occurrence, and codegen-
+    * breaking at realistic K (see [[bpeEncode]]). */
   def bpeRoundtrip(df: DataFrame, idCol: String, textCol: String,
                    merges: Seq[(String, String)]): DataFrame = {
     merges.foreach { case (l, r) =>
       require((l + r).matches("[a-z</>]+"), s"unsafe merge symbol: '$l','$r'")
     }
-    val words = filter(transform(tokenize(col(textCol)), w => lower(w)),
-      w => w.rlike("^[a-z]+$"))
-    val pieces = transform(words, w => mergeFold(w, merges))
-    val decodedWords = transform(pieces,
-      p => org.apache.spark.sql.functions.replace(
-        org.apache.spark.sql.functions.replace(p, lit(" "), lit("")),
-        lit("</w>"), lit("")))
-    val nPieces = aggregate(pieces, lit(0L),
-      (acc, p) => acc + size(split(p, " ")))
-    df.select(col(idCol).cast("long").as("doc_id"),
-      array_join(decodedWords, " ").as("decoded"),
-      nPieces.as("n_pieces"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ms = merges.toArray
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // word → (decoded word, piece count); words repeat heavily within
+        // a partition, so the fold amortizes to once per distinct word
+        val memo = new java.util.HashMap[String, (String, Long)]()
+        it.map { case (id, t) =>
+          if (t == null) (id, null: String, None: Option[Long])
+          else {
+            val toks = t.split("""\s+""")
+            val decoded = new java.lang.StringBuilder
+            var nPieces = 0L
+            var i = 0
+            while (i < toks.length) {
+              val tok = toks(i)
+              if (tok.nonEmpty) {
+                val w = tok.toLowerCase(java.util.Locale.ROOT)
+                if (w.matches("[a-z]+")) {
+                  var e = memo.get(w)
+                  if (e == null) {
+                    val p = encodeWordBpe(w, ms)
+                    // decode = strip the intra-word joins and the </w>
+                    // marker — kept as the literal inverse of the fold
+                    // rather than assuming decode∘encode is the identity
+                    e = (p.replace(" ", "").replace("</w>", ""),
+                      (p.split(" ").length).toLong)
+                    memo.put(w, e)
+                  }
+                  if (decoded.length > 0) decoded.append(' ')
+                  decoded.append(e._1)
+                  nPieces += e._2
+                }
+              }
+              i += 1
+            }
+            (id, decoded.toString, Some(nPieces): Option[Long])
+          }
+        }
+      }
+      .toDF("doc_id", "decoded", "n_pieces")
   }
 
   /** Sequence packing — map every document's token span into fixed-length
@@ -1083,9 +1200,14 @@ object TextOps {
     * [[sharedNgramStats]]); the benchmark side is DISTINCT grams of the
     * eval corpus — small by construction (benchmarks are thousands of
     * documents, not billions), so Catalyst broadcasts it and the
-    * "contaminated" semi-join never shuffles the train side; at 100 TB
-    * the gram would be a 64-bit hash (8-byte keys), here the literal gram
-    * string keys both engines identically for the oracle. */
+    * "contaminated" semi-join never shuffles the train side. Grams are
+    * collapsed to 64-bit polynomial rolling hashes IN the narrow flatMap
+    * (the [[stripDupSubstrings]] scheme — O(tokens) per doc instead of
+    * O(tokens × n) string churn), so only (id, 8-byte hash) rows ever
+    * enter the exchange and the broadcast verdict side is a long set —
+    * the same hash≡gram-identity trade every line/gram-dedup stage here
+    * makes (a 64-bit collision could flag a clean doc at ~1e-12 per
+    * train×bench gram pair). */
   def decontaminate(spark: org.apache.spark.sql.SparkSession,
                     train: DataFrame, bench: DataFrame,
                     idCol: String, textCol: String, n: Int = 13): DataFrame = {
@@ -1096,8 +1218,32 @@ object TextOps {
         .flatMap { case (id, t) =>
           val toks = graft.core.TextUtil.tokens(if (t == null) "" else t)
           if (toks.length < n) Iterator.empty
-          else toks.sliding(n).map(_.mkString(" ")).toSet.iterator
-            .map((g: String) => (id, g))
+          else {
+            // polynomial rolling hash over per-token fnv64 hashes — the
+            // stripDupSubstrings discovery hash, reused verbatim so both
+            // sides of the semi-join key identically
+            val B = 0x100000001b3L
+            var bPow = 1L
+            var j = 1
+            while (j < n) { bPow *= B; j += 1 }
+            val th = new Array[Long](toks.length)
+            var i = 0
+            while (i < toks.length) {
+              th(i) = graft.core.TextUtil.fnv64(toks(i)); i += 1
+            }
+            var h = 0L
+            i = 0
+            while (i < n) { h = h * B + th(i); i += 1 }
+            val seen = scala.collection.mutable.HashSet.empty[Long]
+            seen += h
+            var s = 1
+            while (s <= toks.length - n) {
+              h = (h - th(s - 1) * bPow) * B + th(s + n - 1)
+              seen += h
+              s += 1
+            }
+            seen.iterator.map(g => (id, g))
+          }
         }
         .toDF("id", "gram")
     val benchGrams = gramsOf(bench).select(col("gram")).distinct()
@@ -1118,19 +1264,54 @@ object TextOps {
     * (id, source, rk) for the kept rows.
     *
     * Scale shape: one hash exchange on the source + per-partition sort —
-    * the standard window top-N. A pathologically hot source serializes
-    * into one task; at that scale pre-filter with an approximate
-    * per-source count and salt the giants (two-phase top-N) before the
-    * exact window — the exact window over survivors stays correct because
-    * top-N is a monotone filter. */
+    * the standard window top-N. A pathologically hot source (one crawl
+    * domain owning a visible fraction of the corpus) serializes the
+    * window into ONE task — AQE skew handling does not split windows —
+    * so `hotSourceThreshold > 0` enables the two-phase salted top-N
+    * (guide §2.5 skew treatment): per-source counts identify sources
+    * over the threshold; their rows salt into `pmod(xxhash64(id), S)`
+    * buckets, a per-(source, salt) local top-`cap` window runs in
+    * parallel, and the exact window then ranks only the ≤ S·cap
+    * survivors per hot source. Results are IDENTICAL to the plain window
+    * (top-N is a monotone filter: every row with global rank ≤ cap has
+    * local rank ≤ cap in its salt bucket), so the flag is pure
+    * performance. Default −1 = plain window (the threshold pass costs an
+    * extra count aggregation, not worth it on balanced sources). */
   def capPerSource(df: DataFrame, idCol: String, sourceCol: String,
-                   orderCol: String, cap: Int): DataFrame = {
+                   orderCol: String, cap: Int,
+                   hotSourceThreshold: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(col(orderCol).desc, col(idCol).asc)
-    df.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= cap)
-      .select(col(idCol), col(sourceCol), col("rk"))
+    def plain(in: DataFrame): DataFrame =
+      in.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= cap)
+        .select(col(idCol), col(sourceCol), col("rk"))
+    if (hotSourceThreshold <= 0) plain(df)
+    else {
+      val spark = df.sparkSession
+      // sources over the threshold: bounded by corpus_rows/threshold, so
+      // the collect is enforceably small for any meaningful threshold
+      val hot = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_cnt"))
+        .filter(col("_cnt") > hotSourceThreshold)
+        .select(col(sourceCol)).collect().map(r => String.valueOf(r.get(0)))
+      if (hot.isEmpty) plain(df)
+      else {
+        // coalesce: a null source must take the cold path (a bare isin
+        // yields null, and filter(!null) would DROP the row)
+        val isHot = coalesce(
+          col(sourceCol).cast("string").isin(hot.toIndexedSeq: _*), lit(false))
+        val salts = math.max(32, spark.sparkContext.defaultParallelism * 2)
+        val wSalt = Window.partitionBy(col(sourceCol), col("_salt"))
+          .orderBy(col(orderCol).desc, col(idCol).asc)
+        val hotSurvivors = df.filter(isHot)
+          .withColumn("_salt", pmod(xxhash64(col(idCol)), lit(salts)))
+          .withColumn("_lrk", row_number().over(wSalt))
+          .filter(col("_lrk") <= cap)
+          .drop("_salt", "_lrk")
+        plain(df.filter(!isHot)).unionByName(plain(hotSurvivors))
+      }
+    }
   }
 
   /** C4 cleaning rules (Raffel et al. 2020 §2.2, public): a line is kept
@@ -1225,7 +1406,22 @@ object TextOps {
     * all. This is the composition you'd run at 100 TB — each stage's
     * plan was audited individually (PlanSpec), and composing by id-semi-
     * join keeps those plans intact instead of fusing one giant DAG whose
-    * optimizer fate is harder to reason about. */
+    * optimizer fate is harder to reason about.
+    *
+    * Stage-evaluation contract (r6 optimization): each stage's verdict is
+    * computed FROM the previous stage's survivor frame, so the naive lazy
+    * composition nests the corpus subtree once per branch and the
+    * optimizer re-evaluates the opaque quality-gate mapPartitions and the
+    * gram explode several times per action (exchange reuse cannot
+    * deduplicate subtrees that sit above different parents). Instead the
+    * projected corpus is pinned for the duration of the call (released
+    * before return) and each verdict materializes as a SMALL persisted
+    * id-only frame. The returned frame is the LAZY final composition —
+    * one fresh corpus pass + four broadcast semi-joins against the cached
+    * verdict id-sets — so the caller's action never re-runs a stage. The
+    * verdict-id caches ride the returned plan (8 bytes per surviving
+    * doc); callers that sweep `getPersistentRDDs` (Verify, the Bench
+    * query loop) release them. */
   def curateCorpus(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
                    idCol: String, textCol: String, stratumCol: String,
                    sourceCol: String, ordCol: String, bench: DataFrame,
@@ -1234,22 +1430,36 @@ object TextOps {
     val docs = df.select(col(idCol).cast("long").as("id"),
       col(textCol).as("text"), col(stratumCol).as("stratum"),
       col(sourceCol).as("source"), col(ordCol).as("ord"))
+    // pin the projected corpus: every verdict stage below reads this cache
+    // instead of re-running the (possibly expensive) upstream subtree
+    val base = docs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    def pinIds(v: DataFrame): DataFrame = {
+      val p = v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      p.count()
+      p
+    }
     // 1. quality gate (narrow; verdict ids only)
-    val quality = filterGopher(spark, docs, "id", "text")
-      .filter(col("keep")).select("id")
-    val d1 = docs.join(quality, Seq("id"), "left_semi")
+    val quality = pinIds(filterGopher(spark, base, "id", "text")
+      .filter(col("keep")).select("id"))
+    val d1 = base.join(quality, Seq("id"), "left_semi")
     // 2. exact dedup: min-id representative per identical text
-    val reps = graft.ops.Dedup.exact(d1, "id", "text").select("id")
+    val reps = pinIds(graft.ops.Dedup.exact(d1, "id", "text").select("id"))
     val d2 = d1.join(reps, Seq("id"), "left_semi")
     // 3. benchmark decontamination (13-gram GPT-3 rule); bench is any
     // two-column (id, text)-shaped frame — rename to the internal names
     val benchN = bench.toDF("id", "text")
-    val clean = decontaminate(spark, d2, benchN, "id", "text", 13)
-      .filter(!col("contaminated")).select("id")
+    val clean = pinIds(decontaminate(spark, d2, benchN, "id", "text", 13)
+      .filter(!col("contaminated")).select("id"))
     val d3 = d2.join(clean, Seq("id"), "left_semi")
     // 4. per-source quota
-    val kept = capPerSource(d3, "id", "source", "ord", cap).select("id")
-    val d4 = d3.join(kept, Seq("id"), "left_semi")
+    val kept = pinIds(capPerSource(d3, "id", "source", "ord", cap).select("id"))
+    // every verdict is materialized — release the corpus pin. The caller's
+    // action reads the source once; `kept` ids are by construction a
+    // subset of every prior verdict, so ONE cached-id broadcast semi-join
+    // reproduces the full five-stage composition.
+    base.unpersist(false)
+    val d4 = docs.join(kept, Seq("id"), "left_semi")
     // 5. deterministic stratified mixing
     stratifiedSample(d4, "id", "stratum", rates, defaultRate, salt)
       .select(col("id"), col("stratum"), col("source"),

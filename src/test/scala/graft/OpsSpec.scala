@@ -544,6 +544,29 @@ class OpsSpec extends AnyFunSuite {
     assert(got.filter(_._1 == "src1").sortBy(_._3).map(_._2).toSeq == Seq(7L, 21L, 1L))
   }
 
+  test("capPerSource: two-phase salted top-N equals the plain window on a skewed corpus") {
+    // one pathologically hot source (80% of rows) + a null-source row —
+    // the salted path must reproduce the plain window bit-exactly,
+    // including rank ties broken by id and the null source riding the
+    // cold path
+    val rows = (1L to 4000L).map { i =>
+      val src = if (i % 5 != 0) "hot.example" else s"cold${i % 13}"
+      (i, src, (i * 31) % 97)
+    } :+ (4001L, null.asInstanceOf[String], 50L)
+    val docs = rows.toDF("doc_id", "source", "sz")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), Option(r.getString(1)), r.getLong(2))
+    val plain = TextOps.capPerSource(docs, "doc_id", "source", "sz", 25)
+      .collect().map(key).toSet
+    val salted = TextOps.capPerSource(docs, "doc_id", "source", "sz", 25,
+      hotSourceThreshold = 500L).collect().map(key).toSet
+    assert(salted == plain,
+      s"two-phase diverged: only-salted=${(salted -- plain).take(5)} " +
+        s"only-plain=${(plain -- salted).take(5)}")
+    // the hot source really took the salted path (threshold < its count)
+    assert(rows.count(_._2 == "hot.example") > 500)
+  }
+
   test("repetition stats: hand-computed duplicate-line/ngram fractions") {
     val text = "spam ham spam ham spam ham\nunique line\nunique line"
     // lines: 3 non-empty, dup 1 → 333; toks span lines: 10 tokens
@@ -769,6 +792,21 @@ class OpsSpec extends AnyFunSuite {
     val tiny = Seq((0L, "a a b")).toDF("doc_id", "text")
     val m2 = TextOps.bpeMerges(spark, tiny, "text", 10).collect()
     assert(m2.length == 2) // (a,</w>) then (b,</w>) — then exhausted
+  }
+
+  test("bpeMerges: driver fast path and distributed loop produce the identical merge table") {
+    val docs = Seq(
+      (0L, Array.fill(5)("low").mkString(" ")),
+      (1L, Array.fill(2)("lower").mkString(" ")),
+      (2L, Array.fill(6)("newest").mkString(" ")),
+      (3L, Array.fill(3)("widest lowest rower").mkString(" "))).toDF("doc_id", "text")
+    val fast = TextOps.bpeMerges(spark, docs, "text", 20)
+      .collect().map(_.toSeq).toSeq
+    // localVocabThreshold = 0 forces the distributed argmax loop
+    val dist = TextOps.bpeMerges(spark, docs, "text", 20,
+      localVocabThreshold = 0L).collect().map(_.toSeq).toSeq
+    assert(fast == dist,
+      s"fast=${fast.mkString("\n")}\ndist=${dist.mkString("\n")}")
   }
 
   test("bpeMerges: sample-bounded training runs 80 merges in bounded time, deterministically") {
