@@ -569,12 +569,21 @@ object Dedup {
     val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
     val withHash = docs.withColumn("h", xxhash64(col("text")))
     // body-representative per distinct text; text never rides this join —
-    // ids regroup on the 8-byte hash only
+    // ids regroup on the 8-byte hash only. The (id → rep) map is pinned:
+    // it feeds BOTH the representative-text selection for the LSH pass
+    // and the final survivor join, and unpinned each consumer re-ran the
+    // full hash + groupBy collapse (r6: the stage profile showed the
+    // exact collapse executing twice at ~2.6 s each on the tile bench).
     val bodyRep = withHash.groupBy("h").agg(min(col("id")).as("rep"))
     val idToRep = withHash.select(col("id"), col("h"))
       .join(bodyRep, "h").select(col("id"), col("rep"))
-    val reps = withHash.join(bodyRep.withColumnRenamed("rep", "id"), Seq("h", "id"))
-      .select(col("id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    idToRep.count()
+    // representative texts via an id-semi-join against the cached map —
+    // no second groupBy over the corpus
+    val reps = docs.join(
+      idToRep.filter(col("id") === col("rep")).select(col("id")),
+      Seq("id"), "left_semi")
     // pin the pair set: connectedComponents runs two actions over it (the
     // fast-path bound probe + the union-find collect / per-iteration
     // joins) — unpinned, each action re-ran the whole signature + band
@@ -591,15 +600,22 @@ object Dedup {
       }
     val links = pinned.select(col("id_a"), col("id_b"))
     val comp = connectedComponents(spark, links)
-    // comp is independent of the pair cache (driver union-find result or
-    // eager per-iteration localCheckpoints) — release it before returning
-    // the lazy survivor join
-    pinned.unpersist(false)
-    idToRep
+    // materialize the (narrow, corpus-rows × 17 B) verdict before
+    // releasing the internal caches — comp itself is cache-independent
+    // (driver union-find result or eager localCheckpoints), and the
+    // caller's action then reads the pinned verdict instead of re-running
+    // the collapse. CONTRACT: the result comes back persisted; the caller
+    // unpersists once consumed (Verify/Bench sweep getPersistentRDDs).
+    val out = idToRep
       .join(comp.withColumnRenamed("id", "rep"), Seq("rep"), "left")
       .select(col("id"),
         coalesce(col("component"), col("rep")).as("representative"))
       .withColumn("keep", col("id") === col("representative"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    out.count()
+    pinned.unpersist(false)
+    idToRep.unpersist(false)
+    out
   }
 
   /** Connected components over undirected (id_a, id_b) link rows — the

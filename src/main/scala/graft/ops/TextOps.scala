@@ -911,13 +911,25 @@ object TextOps {
                                df: DataFrame, contextLen: Int): DataFrame = {
     import spark.implicits._
     require(contextLen > 0, s"contextLen must be positive: $contextLen")
-    val counted = df
+    // pin the 16-byte (id, n) projection across the range exchange:
+    // repartitionByRange SAMPLES its child to pick boundaries and then
+    // shuffles it, i.e. the upstream subtree (which for composed callers
+    // is a whole reassembly/curation chain, with the token count itself
+    // an O(text) projection) evaluates twice — caching the narrow rows
+    // costs corpus-rows × 16 B and halves that (guide §2: don't compute
+    // things twice feeding one exchange)
+    val input = df
       .filter(col("n") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val counted = input
       .repartitionByRange(col("id"))
       .sortWithinPartitions("id")
       .as[(Long, Long)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // pass 1: per-partition token totals (numPartitions rows to driver)
+    // pass 1: per-partition token totals (numPartitions rows to driver);
+    // this also materializes `counted`, after which the pre-exchange
+    // input cache can release (lost shuffle partitions replay from
+    // shuffle files, not by resampling)
     val partSums = counted
       .mapPartitions { it =>
         var s = 0L; it.foreach(s += _._2)
@@ -925,6 +937,7 @@ object TextOps {
           (org.apache.spark.TaskContext.getPartitionId(), s))
       }
       .collect().sortBy(_._1)
+    input.unpersist(false)
     val offsets = new Array[Long](partSums.length + 1)
     partSums.foreach { case (pid, s) => offsets(pid + 1) = s }
     for (i <- 1 until offsets.length) offsets(i) += offsets(i - 1)
@@ -979,10 +992,15 @@ object TextOps {
                      scoreCol: Column, budgetTokens: Long): DataFrame = {
     import spark.implicits._
     require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
-    val counted = df.select(col(idCol).cast("long").as("id"),
+    // same pre-exchange pin as [[packCounted]]: the range partitioner's
+    // sampling pass would otherwise evaluate the (score, tokenCount)
+    // projection over the whole corpus a second time
+    val input = df.select(col(idCol).cast("long").as("id"),
         scoreCol.cast("long").as("score"),
         tokenCount(col(textCol)).cast("long").as("n"))
       .filter(col("n") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val counted = input
       .repartitionByRange(col("score").desc, col("id"))
       .sortWithinPartitions(col("score").desc, col("id"))
       .as[(Long, Long, Long)]
@@ -991,6 +1009,7 @@ object TextOps {
       var s = 0L; it.foreach(s += _._3)
       Iterator.single((org.apache.spark.TaskContext.getPartitionId(), s))
     }.collect().sortBy(_._1)
+    input.unpersist(false)
     val offsets = new Array[Long](partSums.length + 1)
     partSums.foreach { case (pid, s) => offsets(pid + 1) = s }
     for (i <- 1 until offsets.length) offsets(i) += offsets(i - 1)
