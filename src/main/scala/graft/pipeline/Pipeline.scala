@@ -340,13 +340,18 @@ object Pipeline {
     val hashed = pending
       .select($"doc_id", sha1(coalesce($"bytes", lit(Array.empty[Byte])))
         .as("content_hash"))
-    val mapping = hashed
+    val reps = hashed
       .groupBy($"content_hash")
       .agg(min($"doc_id").as("representative"))
+    val mapping = reps
       .join(hashed, "content_hash")
       .select($"doc_id", $"content_hash", $"representative")
-    val winners = mapping.filter($"doc_id" === $"representative")
-      .select($"doc_id")
+    // winners = the representative ids straight off the aggregate — the
+    // old mapping.filter(doc_id === representative) route re-joined the
+    // aggregate against `hashed`, so an action over `deduped` evaluated
+    // the sha1-over-payload scan TWICE (the groupBy branch and the join
+    // branch hash-partition different row shapes, so no exchange reuse)
+    val winners = reps.select($"representative".as("doc_id"))
     val deduped = pending
       .join(winners, Seq("doc_id"), "left_semi")
       .as[PendingDoc]
