@@ -95,33 +95,48 @@ object SpanOps {
     * string (the shape's id type).
     *
     * Single-pass contract: the input is consumed by two jobs (boiler
-    * discovery, strip), so the typed projection persists across them and
-    * releases before return; the STRIPPED RESULT comes back
-    * persisted+materialized — the caller unpersists once consumed. */
+    * discovery, strip), so the projected input persists across them —
+    * UNLESS the caller's frame is already cached (`docs.storageLevel`
+    * probe), in which case re-deriving the narrow projection from the
+    * caller's cache is cheaper than writing a second full copy of the
+    * span table into the block manager (r6; the Bench tile passes a
+    * persisted table and paid the double-cache). Internal pins release
+    * before return; the STRIPPED RESULT comes back persisted+materialized
+    * — the caller unpersists once consumed.
+    *
+    * Execution paths (r6): BOTH discovery and strip are pure codegen'd
+    * column expressions — per-doc distinct `xxhash64` hashes explode for
+    * the doc-frequency count, and the strip is a nested-array `filter`
+    * probing the broadcast verdict set — so the span structs never
+    * round-trip through Java objects (the previous typed
+    * Dataset[(String, Seq[Span])] formulation paid a full
+    * deserialize/re-serialize of every span in BOTH passes). When the
+    * verdict set outgrows `maxExprSet`, the strip probe switches from an
+    * in-list expression to the broadcast sorted-long[] binary search
+    * inside one typed map (the r5 shape) — same result, bounded plan. */
   def stripBoilerplateNested(spark: SparkSession, docs: DataFrame,
                              minDocs: Int = 5, idCol: String = "doc_id",
                              spansCol: String = "spans",
-                             maxBoilerHashes: Int = 5000000): DataFrame = {
+                             maxBoilerHashes: Int = 5000000,
+                             maxExprSet: Int = 10000): DataFrame = {
     import spark.implicits._
     import graft.core.{Span, TextUtil}
-    val typed = docs
-      .select(col(idCol).cast("string").as("_1"), col(spansCol).as("_2"))
-      .as[(String, Seq[Span])]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val projected = docs
+      .select(col(idCol).cast("string").as(idCol), col(spansCol).as(spansCol))
+    val inputCached =
+      docs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val base =
+      if (inputCached) projected
+      else projected
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // null-text spans are never boilerplate candidates and never strip
     // (parity with the exploded stripBoilerplate, where xxhash64(null)
     // is SQL-null and drops out of both the df count and the match)
-    val hashes = typed.flatMap { case (_, spans) =>
-      val seen = scala.collection.mutable.HashSet.empty[Long]
-      spans.foreach { sp =>
-        if (sp.kind == "text" && sp.text != null)
-          seen += TextUtil.fnv64(sp.text)
-      }
-      seen.iterator
-    }.toDF("h")
-    // this discovery job materializes the typed cache: the strip pass
-    // below reads it instead of re-running the (possibly expensive)
-    // upstream reassembly a second time
+    val isTextWithBody = (sp: Column) =>
+      sp.getField("kind") === "text" && sp.getField("text").isNotNull
+    val hashes = base.select(explode(array_distinct(transform(
+      filter(col(spansCol), isTextWithBody),
+      sp => xxhash64(sp.getField("text"))))).as("h"))
     val boiler = hashes.groupBy("h").agg(count(lit(1)).as("ddf"))
       .filter(col("ddf") >= minDocs)
       .select("h").as[Long]
@@ -129,20 +144,47 @@ object SpanOps {
     require(boiler.length <= maxBoilerHashes,
       s"boilerplate set exceeds $maxBoilerHashes hashes — this corpus " +
         "needs the join-based stripBoilerplate (unbounded verdict side)")
-    // broadcast a sorted primitive array probed by binary search, not an
-    // immutable Set[Long]: at the 5M-hash bound the boxed set costs
-    // hundreds of MB on the driver and every executor copy, the long[]
-    // 40 MB flat
-    val sorted = boiler.sorted
-    val bc = spark.sparkContext.broadcast(sorted)
-    val out = typed.map { case (id, spans) =>
-      (id, spans.filter(sp =>
-        sp.kind != "text" || sp.text == null ||
-          java.util.Arrays.binarySearch(bc.value, TextUtil.fnv64(sp.text)) < 0))
-    }.toDF(idCol, spansCol)
+    val stripped =
+      if (boiler.isEmpty)
+        // nothing to strip — still a FRESH projection (base may itself be
+        // the internal pin, which releases below; aliasing it as the
+        // returned cache would unpersist the result)
+        base.select(col(idCol), col(spansCol))
+      else if (boiler.length <= maxExprSet) {
+        // codegen'd in-set probe (the optimizer converts the in-list to
+        // an InSet hash probe past its conversion threshold); realistic
+        // boilerplate heads are tens-to-thousands of spans
+        val keep = (sp: Column) => !(isTextWithBody(sp) &&
+          xxhash64(sp.getField("text")).isin(boiler.toIndexedSeq: _*))
+        base.select(col(idCol), filter(col(spansCol), keep).as(spansCol))
+      } else {
+        // giant verdict set: broadcast a sorted primitive array probed by
+        // binary search, not an immutable Set[Long] — at the 5M-hash
+        // bound the boxed set costs hundreds of MB on the driver and
+        // every executor copy, the long[] 40 MB flat. Hash parity with
+        // the discovery pass: the candidate hashes are computed by the
+        // SAME SQL xxhash64 in a companion column, zipped back to the
+        // spans in one typed map (Long.MinValue = not-a-candidate
+        // sentinel — a genuine hash landing on it is kept, the same
+        // 2^-64-class trade the hash identity already makes).
+        val sorted = boiler.sorted
+        val bc = spark.sparkContext.broadcast(sorted)
+        base.select(col(idCol), col(spansCol),
+            transform(col(spansCol), sp =>
+              coalesce(when(isTextWithBody(sp),
+                xxhash64(sp.getField("text"))), lit(Long.MinValue))).as("_hs"))
+          .as[(String, Seq[Span], Seq[Long])]
+          .map { case (id, spans, hs) =>
+            (id, spans.iterator.zip(hs.iterator).filter { case (_, h) =>
+              h == Long.MinValue ||
+                java.util.Arrays.binarySearch(bc.value, h) < 0
+            }.map(_._1).toSeq)
+          }.toDF(idCol, spansCol)
+      }
+    val out = stripped
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    out.count() // pin the stripped result, then release the input cache
-    typed.unpersist(false)
+    out.count() // pin the stripped result, then release the input pin
+    if (!inputCached) base.unpersist(false)
     out
   }
 

@@ -1449,10 +1449,18 @@ object TextOps {
     val docs = df.select(col(idCol).cast("long").as("id"),
       col(textCol).as("text"), col(stratumCol).as("stratum"),
       col(sourceCol).as("source"), col(ordCol).as("ord"))
-    // pin the projected corpus: every verdict stage below reads this cache
-    // instead of re-running the (possibly expensive) upstream subtree
-    val base = docs
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // pin the projected corpus so every verdict stage below reads a cache
+    // instead of re-running the (possibly expensive) upstream subtree —
+    // UNLESS the caller's frame is already cached, in which case
+    // re-deriving the narrow projection from the caller's cache per stage
+    // is cheaper than writing a second full copy of the corpus text into
+    // the block manager
+    val inputCached =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val base =
+      if (inputCached) docs
+      else docs
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     def pinIds(v: DataFrame): DataFrame = {
       val p = v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       p.count()
@@ -1477,7 +1485,7 @@ object TextOps {
     // action reads the source once; `kept` ids are by construction a
     // subset of every prior verdict, so ONE cached-id broadcast semi-join
     // reproduces the full five-stage composition.
-    base.unpersist(false)
+    if (!inputCached) base.unpersist(false)
     val d4 = docs.join(kept, Seq("id"), "left_semi")
     // 5. deterministic stratified mixing
     stratifiedSample(d4, "id", "stratum", rates, defaultRate, salt)
