@@ -367,17 +367,41 @@ object Dedup {
 
     verify match {
       case "exact" =>
-        // exact verify: join text back, compute true jaccard
-        val texts = docs.toDF("id", "text")
+        // exact verify: true jaccard over each side's shingle set. The
+        // sets ride the pair join as per-doc SORTED 64-bit hash arrays
+        // (distinct by construction — shingles() returns a Set) instead
+        // of the full texts: a document's tokenize+shingle work happens
+        // once in the narrow projection rather than once per PAIR SIDE,
+        // the join payload shrinks, and the per-pair cost is a linear
+        // merge-intersect instead of two set builds (r6; same
+        // hash≡shingle-identity trade as the banding itself — an
+        // in-document hash collision shifting a set size is a ~1e-16
+        // event). Empty-shingle docs never reach `candidates` (their
+        // signature is null), so the empty/empty => 1.0 convention of
+        // [[jaccard]] is unreachable here but preserved.
+        val sets = docs.mapPartitions(_.map { case (id, text) =>
+          val sh = TextOps.shingles(
+            graft.core.TextUtil.tokens(text).toIndexedSeq, shingleN)
+          (id, sh.iterator.map(hashToken).toArray.sorted)
+        }).toDF("id", "sh")
         candidates
-          .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
-          .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
-          .select($"id_a", $"id_b", $"text_a", $"text_b") // USING joins reorder columns
-          .as[(Long, Long, String, String)]
-          .mapPartitions(_.map { case (a, b, ta, tb) =>
-            val sa = TextOps.shingles(graft.core.TextUtil.tokens(ta).toIndexedSeq, shingleN)
-            val sb = TextOps.shingles(graft.core.TextUtil.tokens(tb).toIndexedSeq, shingleN)
-            (a, b, jaccard(sa, sb))
+          .join(sets.toDF("id_a", "sh_a"), "id_a")
+          .join(sets.toDF("id_b", "sh_b"), "id_b")
+          .select($"id_a", $"id_b", $"sh_a", $"sh_b") // USING joins reorder columns
+          .as[(Long, Long, Array[Long], Array[Long])]
+          .mapPartitions(_.map { case (a, b, sa, sb) =>
+            var i = 0; var j = 0; var inter = 0
+            while (i < sa.length && j < sb.length) {
+              if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+              else if (sa(i) < sb(j)) i += 1
+              else j += 1
+            }
+            val union = sa.length + sb.length - inter
+            val jac =
+              if (sa.isEmpty && sb.isEmpty) 1.0
+              else if (union == 0) 0.0
+              else inter.toDouble / union
+            (a, b, jac)
           })
           .toDF("id_a", "id_b", "jaccard")
           .filter($"jaccard" >= threshold)
