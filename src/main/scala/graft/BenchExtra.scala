@@ -213,6 +213,38 @@ object BenchExtra {
           st.unpersist(false); s2.unpersist(false)
         }
 
+      case "couple" =>
+        // reproduce the Bench tile-section ORDER (curate over a cached
+        // tile, then pack in the same session) to measure cross-section
+        // coupling of leaked storage/broadcast state
+        val tile = if (args.length > 1) args(1).toInt else 40
+        val tiled = tiledCorpus(tile)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        tiled.count()
+        val curateDocs = tiled.select(col("id"), col("text"),
+          pmod(col("id"), lit(3)).cast("string").as("stratum"),
+          pmod(col("id"), lit(997)).cast("string").as("source"),
+          length(col("text")).cast("long").as("ord"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        curateDocs.count()
+        val curateBench = curateDocs
+          .filter(pmod(col("id"), lit(101)) === 0)
+          .select(col("id"), col("text")).orderBy(col("id")).limit(2000)
+        for (r <- 1 to 2)
+          time(s"curate rep $r") {
+            graft.ops.TextOps.curateCorpus(spark, curateDocs, "id", "text",
+              "stratum", "source", "ord", curateBench, 5000,
+              Map("0" -> 0.5, "1" -> 0.25), 0.1, "bench").count()
+          }
+        curateDocs.unpersist()
+        for (r <- 1 to 2)
+          time(s"pack rep $r") {
+            val s = graft.ops.TextOps.packSequences(spark, tiled, "id",
+              "text", 2048)
+            s.count()
+            s.unpersist(false)
+          }
+
       case "packprobe" =>
         val tile = if (args.length > 1) args(1).toInt else 40
         val tiled = tiledCorpus(tile)

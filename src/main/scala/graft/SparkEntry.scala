@@ -1028,11 +1028,26 @@ object SparkEntry {
       }
       if (root.exists()) deleteRec(root)
       root.mkdirs()
-      for ((id, text) <- docs0) {
-        val (name, bytes) = QueryLib.render("warc_site", id,
-          if (text == null) "" else text)
-        java.nio.file.Files.write(new java.io.File(root, name).toPath, bytes)
-      }
+      // each site's bytes are a pure function of (id, text) and land in a
+      // distinct file, so the render + gzip + write loop (~5k gzip+write
+      // calls per invocation) spreads across a bounded pool — a driver-
+      // serial term that grows linearly with the fixture corpus; .get()
+      // propagates the first failure exactly like the sequential loop did
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(2, math.min(Runtime.getRuntime.availableProcessors(), 16)))
+      try {
+        docs0.map { case (id, text) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              val (name, bytes) = QueryLib.render("warc_site", id,
+                if (text == null) "" else text)
+              java.nio.file.Files.write(
+                new java.io.File(root, name).toPath, bytes)
+              ()
+            }
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown()
       // 2. crawl source -> extraction
       val out = QueryLib.run(s,
         graft.sources.Sources.fromWarcs(s, root.getAbsolutePath))
@@ -1075,7 +1090,11 @@ object SparkEntry {
       val kept = TextOps.curateCorpus(s, corpus, "doc_id", "text", "lang",
         "source", "n_chars", bench, cap = 10,
         rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1,
-        salt = "graft")
+        salt = "graft",
+        // multi-action composition (the survivor set feeds packSequences,
+        // which runs its own prefix-sum actions): cut the verdict lineage
+        // so each action stops paying the nested-plan description cost
+        cutLineage = true)
       // 6. pack the survivors into 512-position training contexts
       val survivors = corpus
         .join(kept.select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")

@@ -135,10 +135,16 @@ object Analyze {
     * be 4–100 chars after cleanup and contain a space; punctuation is
     * stripped from the edges and whitespace collapsed (the portable core of
     * fingerprints.clean_entity_name + normality.collapse_spaces). */
+  // precompiled: cleanName runs per mention candidate, and
+  // String.replaceAll recompiles its pattern on every call
+  private val NameWs = java.util.regex.Pattern.compile("\\s+")
+  private val NameEdgePunct =
+    java.util.regex.Pattern.compile("^[\\p{Punct}\\s]+|[\\p{Punct}\\s]+$")
+
   def cleanName(text: String): Option[String] = {
     if (text == null || text.length > 100) return None
-    val collapsed = text.trim.replaceAll("\\s+", " ")
-      .replaceAll("^[\\p{Punct}\\s]+|[\\p{Punct}\\s]+$", "")
+    val collapsed = NameEdgePunct.matcher(
+      NameWs.matcher(text.trim).replaceAll(" ")).replaceAll("")
     if (collapsed.length <= 4 || !collapsed.contains(' ')) None
     else Some(collapsed)
   }

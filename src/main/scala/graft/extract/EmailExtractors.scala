@@ -196,6 +196,9 @@ object EmlExtractor extends Extractor {
 /** mbox mailbox: split into one RFC822 child per `From `-delimited message
   * (`/root/reference/ingestors/email/mbox.py:14-54`). */
 object MboxExtractor extends Extractor {
+  // per-message un-escape pattern, precompiled (String.replaceAll
+  // recompiles per call)
+  private val FromEscape = java.util.regex.Pattern.compile("(?m)^>From ")
   val name = "MboxFileIngestor"
   val schema = "Package"
   val Magic = "From "
@@ -214,7 +217,7 @@ object MboxExtractor extends Extractor {
     def flush(): Unit = if (cur.nonEmpty) {
       count += 1
       // un-escape ">From " per mbox convention
-      val body = cur.toString.replaceAll("(?m)^>From ", "From ")
+      val body = FromEscape.matcher(cur.toString).replaceAll("From ")
       children += ChildDoc(s"$count.eml", "message/rfc822",
         body.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
       cur.clear()

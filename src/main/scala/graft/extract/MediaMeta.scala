@@ -10,6 +10,10 @@ package graft.extract
   * (mvhd times / TDRC), duration (ms), samplingRate (Hz). */
 object MediaMeta {
 
+  // per-timestamp fixup, precompiled (String.replaceAll recompiles per call)
+  private val OffsetNoColon =
+    java.util.regex.Pattern.compile("([+-]\\d{2})(\\d{2})$")
+
   private def u16(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
   private def u32(b: Array[Byte], o: Int): Long =
@@ -34,7 +38,7 @@ object MediaMeta {
     catch {
       case _: Exception =>
         // "+0200" without colon, or naive timestamps
-        val fixed = t.replaceAll("([+-]\\d{2})(\\d{2})$", "$1:$2")
+        val fixed = OffsetNoColon.matcher(t).replaceAll("$1:$2")
         try Some(java.time.OffsetDateTime.parse(fixed)
           .withOffsetSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime.toString)
         catch {

@@ -189,12 +189,17 @@ object Mime {
   }
 
   private val EncodedWord = """=\?([^?]+)\?([bBqQ])\?([^?]*)\?=""".r
+  // precompiled per-header patterns (String.replaceAll recompiles per call)
+  private val AdjacentWords =
+    java.util.regex.Pattern.compile("(\\?=)\\s+(=\\?)")
+  private val DateWs = java.util.regex.Pattern.compile("\\s+")
+  private val DateComment = java.util.regex.Pattern.compile("\\(.*\\)$")
 
   /** RFC 2047 encoded-word decoding for header values. */
   def decodeWords(value: String): String = {
     if (!value.contains("=?")) return value
     // adjacent encoded words are joined without intervening whitespace
-    val collapsed = value.replaceAll("(\\?=)\\s+(=\\?)", "$1$2")
+    val collapsed = AdjacentWords.matcher(value).replaceAll("$1$2")
     EncodedWord.replaceAllIn(collapsed, m => {
       val charset = m.group(1)
       val enc = m.group(2).toLowerCase
@@ -300,8 +305,8 @@ object Mime {
   /** Parse an RFC 2822 date header; returns ISO-8601 local form, the shape
     * FtM stores (`support/email.py:94-101`). */
   def parseDate(value: String): Option[String] = {
-    val v = value.trim.replaceAll("\\s+", " ")
-      .replaceAll("\\(.*\\)$", "").trim
+    val v = DateComment.matcher(
+      DateWs.matcher(value.trim).replaceAll(" ")).replaceAll("").trim
       .replace("GMT", "+0000").replace("UT", "+0000")
     for (f <- rfc2822Formats) {
       try {

@@ -69,6 +69,18 @@ object Glyphs {
   val GlyphW = 5
   val GlyphH = 7
   val CellW = 6 // 5 glyph columns + 1 blank separator
+
+  /** The 35 dots of each glyph packed into one Long (row r occupies bits
+    * [5r, 5r+5)), aligned with [[chars]]: XOR + one popcount gives the same
+    * Hamming distance as the per-row sum, and iterating this array in
+    * [[chars]] order preserves the strict-< first-minimum tie-break. */
+  val packed: Array[Long] = chars.map { c =>
+    val rows = table(c)
+    var acc = 0L
+    var r = 0
+    while (r < GlyphH) { acc |= (rows(r).toLong & 0x1f) << (5 * r); r += 1 }
+    acc
+  }
 }
 
 /** Minimal uncompressed 24-bpp BMP (BITMAPFILEHEADER + BITMAPINFOHEADER —
@@ -136,11 +148,15 @@ object Bmp {
 object Raster {
   import Glyphs._
 
+  private val NonAlnum = java.util.regex.Pattern.compile("[^A-Za-z0-9 ]")
+
   /** The charset contract between rasterizer, recognizer and the DuckDB
     * oracle: ASCII alnum + space only (uppercased AFTER stripping, so the
-    * uppercasing is pure-ASCII and portable to the oracle's `upper()`). */
+    * uppercasing is pure-ASCII and portable to the oracle's `upper()`).
+    * Pattern precompiled once — replaceAll recompiles per call, and this
+    * runs per rendered document. */
   def normalize(text: String): String =
-    text.replaceAll("[^A-Za-z0-9 ]", "").toUpperCase(java.util.Locale.ROOT)
+    NonAlnum.matcher(text).replaceAll("").toUpperCase(java.util.Locale.ROOT)
 
   /** Render `text` (must already be normalized) black-on-white at an
     * integer `scale`; minWidthChars pads with trailing spaces (recovered
@@ -211,10 +227,14 @@ object StubOcr extends OcrEngine {
         if (scale == 0 || w % (CellW * scale) != 0) return ""
         val nCells = w / (CellW * scale)
         val sb = new StringBuilder(nCells)
+        val tmpl = Glyphs.packed
+        val cs = Glyphs.chars
         var cell = 0
         while (cell < nCells) {
-          // downsample the cell to a 5×7 dot mask (majority vote per dot)
-          val mask = new Array[Int](GlyphH)
+          // downsample the cell to a 5×7 dot mask (majority vote per dot),
+          // packed 5 bits per row into one Long (same layout as
+          // Glyphs.packed, MSB = leftmost column within each row)
+          var maskL = 0L
           var gy = 0
           while (gy < GlyphH) {
             var gx = 0
@@ -231,22 +251,22 @@ object StubOcr extends OcrEngine {
                 }
                 sy += 1
               }
-              if (dark * 2 >= scale * scale) mask(gy) |= (1 << (GlyphW - 1 - gx))
+              if (dark * 2 >= scale * scale)
+                maskL |= 1L << (5 * gy + (GlyphW - 1 - gx))
               gx += 1
             }
             gy += 1
           }
-          // nearest template by Hamming distance
+          // nearest template by Hamming distance: one XOR + popcount per
+          // glyph over the packed 35 dots (identical distance and first-
+          // minimum tie-break as the per-row loop this replaces)
           var bestChar = ' '
           var bestDist = Int.MaxValue
-          for (c <- chars) {
-            val rows = table(c)
-            var d = 0
-            var r = 0
-            while (r < GlyphH) {
-              d += Integer.bitCount(mask(r) ^ rows(r)); r += 1
-            }
-            if (d < bestDist) { bestDist = d; bestChar = c }
+          var ci = 0
+          while (ci < tmpl.length) {
+            val d = java.lang.Long.bitCount(maskL ^ tmpl(ci))
+            if (d < bestDist) { bestDist = d; bestChar = cs(ci) }
+            ci += 1
           }
           sb.append(bestChar)
           cell += 1

@@ -15,6 +15,26 @@ object TextOps {
   def tokenize(text: Column): Column =
     filter(split(text, """\s+"""), t => length(t) > 0)
 
+  /** The ASCII `\s+` of [[tokenize]] precompiled once per JVM —
+    * `String.split("\\s+")` recompiles the pattern on every call, which is
+    * pure per-document garbage in the closure-side tokenizers below
+    * (Pattern.split with limit 0 is what String.split delegates to, so the
+    * token arrays are bit-identical). */
+  private val AsciiWs = java.util.regex.Pattern.compile("""\s+""")
+
+  /** `w.matches("[a-z]+")` without the per-call Pattern.compile: non-empty
+    * and every char in 'a'..'z' — the literal semantics of that regex. */
+  private def isLowerAlpha(w: String): Boolean = {
+    if (w.isEmpty) return false
+    var i = 0
+    while (i < w.length) {
+      val c = w.charAt(i)
+      if (c < 'a' || c > 'z') return false
+      i += 1
+    }
+    true
+  }
+
   def tokenCount(text: Column): Column = size(tokenize(text))
 
   /** Subword-ish count: splits on punctuation boundaries too (a cheap BPE
@@ -318,8 +338,8 @@ object TextOps {
         // historically tokenize on \s+, and both sides of the model must
         // use ONE tokenizer or NBSP-joined words count differently in
         // U(w1) vs B(w1,w2)
-        val toks = (if (t == null) "" else t)
-          .split("""\s+""").filter(_.nonEmpty)
+        val toks = AsciiWs.split(if (t == null) "" else t)
+          .filter(_.nonEmpty)
         toks.indices.iterator.map(i =>
           (id, toks(i), if (i + 1 < toks.length) toks(i + 1) else null))
       }
@@ -443,7 +463,7 @@ object TextOps {
         val lines = text.split('\n').iterator.filter(_.nonEmpty).toArray
         val nLines = lines.length
         val dupLines = nLines - lines.distinct.length
-        val toks = text.split("""\s+""").filter(_.nonEmpty)
+        val toks = AsciiWs.split(text).filter(_.nonEmpty)
         def ngramStats(n: Int): (Int, Int, Int) = {
           // (count, distinct, maxFreq) over n-grams
           val total = math.max(0, toks.length - n + 1)
@@ -500,7 +520,7 @@ object TextOps {
       .mapPartitions(_.map { case (id, text0) =>
         val text = if (text0 == null) "" else text0
         val nChars = text.length.toLong
-        val toks = text.split("""\s+""").filter(_.nonEmpty)
+        val toks = AsciiWs.split(text).filter(_.nonEmpty)
         val nTok = toks.length.toLong
         val nStop = toks.count(stops.contains).toLong
         val nPunct = text.count(c =>
@@ -836,7 +856,7 @@ object TextOps {
         it.map { case (id, t) =>
           if (t == null) (id, null: String, None: Option[Long])
           else {
-            val toks = t.split("""\s+""")
+            val toks = AsciiWs.split(t)
             val decoded = new java.lang.StringBuilder
             var nPieces = 0L
             var i = 0
@@ -844,7 +864,7 @@ object TextOps {
               val tok = toks(i)
               if (tok.nonEmpty) {
                 val w = tok.toLowerCase(java.util.Locale.ROOT)
-                if (w.matches("[a-z]+")) {
+                if (isLowerAlpha(w)) {
                   var e = memo.get(w)
                   if (e == null) {
                     val p = encodeWordBpe(w, ms)
@@ -1440,12 +1460,31 @@ object TextOps {
     * verdict id-sets — so the caller's action never re-runs a stage. The
     * verdict-id caches ride the returned plan (8 bytes per surviving
     * doc); callers that sweep `getPersistentRDDs` (Verify, the Bench
-    * query loop) release them. */
+    * query loop) release them.
+    *
+    * `cutLineage` (r6): multi-action COMPOSED callers (the returned frame
+    * feeds further operators that each run several actions) should pass
+    * true — the final verdict is then materialized through an eager-by-
+    * count localCheckpoint, so the returned plan is `source scan -> one
+    * broadcast semi-join against a one-line LogicalRDD` instead of the
+    * recursively nested verdict lineage. JFR on the driver main thread
+    * showed ~45% of a composed caller's driver CPU going to building and
+    * redaction-scanning the physical-plan description string (the
+    * SQL-listener event, emitted per action even with the UI disabled) of
+    * that nested lineage; with the cut, t_web_pipeline dropped 10.7 ->
+    * 5.3-7.3 s (interleaved A/B). The internal stage verdicts also
+    * release PROMPTLY in this mode (nothing downstream references them).
+    * Results are bit-identical — the checkpoint stores the same id rows;
+    * the broadcast hint applies only below a measured 1M-row bound, so a
+    * 100 TB-scale verdict still takes the shuffle path. Default false =
+    * the exact pre-existing pin shape (single-action callers pay one
+    * plan print, and the extra checkpoint job is pure overhead there).*/
   def curateCorpus(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
                    idCol: String, textCol: String, stratumCol: String,
                    sourceCol: String, ordCol: String, bench: DataFrame,
                    cap: Int, rates: Map[String, Double],
-                   defaultRate: Double, salt: String): DataFrame = {
+                   defaultRate: Double, salt: String,
+                   cutLineage: Boolean = false): DataFrame = {
     val docs = df.select(col(idCol).cast("long").as("id"),
       col(textCol).as("text"), col(stratumCol).as("stratum"),
       col(sourceCol).as("source"), col(ordCol).as("ord"))
@@ -1461,6 +1500,21 @@ object TextOps {
       if (inputCached) docs
       else docs
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // Stage-pin strategy (r6, second iteration — both variants measured):
+    // the three INTERNAL verdicts pin with persist+count exactly as
+    // before (one job each; the cached frame exposes its ACTUAL size, so
+    // the planner broadcasts small verdicts on its own), and they are
+    // released promptly once the final verdict materializes. Only the
+    // FINAL verdict (`kept`, below) is lineage-cut with a localCheckpoint:
+    // that is the only frame the RETURNED composition references, and JFR
+    // on the driver main thread showed ~45% of a composed caller's driver
+    // CPU going to building + redaction-scanning the physical-plan
+    // description string (SQL-listener event, paid per action even with
+    // the UI disabled) of the recursively nested InMemoryRelation verdict
+    // lineage. Checkpointing ALL four verdicts was measured WORSE on the
+    // naked call (curate_tile 2.8 -> 4.5 s): each localCheckpoint pays an
+    // extra fix-up job at this host's ~0.25 s/job scheduling floor, and
+    // the internal verdicts' plans are only ever printed once per call.
     def pinIds(v: DataFrame): DataFrame = {
       val p = v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       p.count()
@@ -1479,13 +1533,37 @@ object TextOps {
     val clean = pinIds(decontaminate(spark, d2, benchN, "id", "text", 13)
       .filter(!col("contaminated")).select("id"))
     val d3 = d2.join(clean, Seq("id"), "left_semi")
-    // 4. per-source quota
-    val kept = pinIds(capPerSource(d3, "id", "source", "ord", cap).select("id"))
-    // every verdict is materialized — release the corpus pin. The caller's
-    // action reads the source once; `kept` ids are by construction a
-    // subset of every prior verdict, so ONE cached-id broadcast semi-join
-    // reproduces the full five-stage composition.
+    // 4. per-source quota — the FINAL verdict. With cutLineage: a LAZY
+    // localCheckpoint whose count() materializes the checkpoint blocks
+    // AND returns the row count in one job, collapsing the returned plan
+    // to `source scan -> one semi-join against a one-line LogicalRDD`.
+    // The cached frame used to expose its actual size to the planner; a
+    // LogicalRDD only carries the origin plan's ESTIMATE (corpus-sized
+    // here, since the verdict lineage is an opaque mapPartitions gate) —
+    // measured un-hinted at tile 40, the final semi-join degraded to
+    // sort-merge and shuffled the corpus text, so the explicit broadcast
+    // hint reproduces the old adaptive decision below a measured 1M-row
+    // bound (~the default 10 MB auto-broadcast threshold for a long-keyed
+    // HashedRelation); a 100 TB-scale verdict still shuffles as before.
+    val keptV = capPerSource(d3, "id", "source", "ord", cap).select("id")
+    val kept =
+      if (cutLineage) {
+        val maxBroadcastIds = 1000000L
+        val cp = keptV.localCheckpoint(false)
+        if (cp.count() <= maxBroadcastIds) broadcast(cp) else cp
+      } else pinIds(keptV)
+    // every verdict is materialized — release the corpus pin. With
+    // cutLineage the internal stage verdicts release PROMPTLY too (the
+    // returned plan references only the checkpointed `kept`); otherwise
+    // `kept` ids are by construction a subset of every prior verdict, the
+    // returned plan carries only the cached-id semi-joins, and the
+    // verdict caches are swept by the callers (getPersistentRDDs).
     if (!inputCached) base.unpersist(false)
+    if (cutLineage) {
+      quality.unpersist(false)
+      reps.unpersist(false)
+      clean.unpersist(false)
+    }
     val d4 = docs.join(kept, Seq("id"), "left_semi")
     // 5. deterministic stratified mixing
     stratifiedSample(d4, "id", "stratum", rates, defaultRate, salt)

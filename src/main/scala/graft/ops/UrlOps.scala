@@ -25,6 +25,10 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
+  // per-anchor whitespace collapse, precompiled (String.replaceAll
+  // recompiles the pattern on every call — this runs per <a> element)
+  private val AnchorWs = java.util.regex.Pattern.compile("\\s+")
+
   private val TrackingRe = "^(utm_[^=]*|gclid|fbclid|ref)="
 
   def schemeOf(url: Column): Column =
@@ -262,7 +266,7 @@ object UrlOps {
         graft.extract.HtmlDom.findAll(
             graft.extract.HtmlDom.parse(if (html == null) "" else html), "a")
           .flatMap { a =>
-            val text = textOf(a).trim.replaceAll("\\s+", " ")
+            val text = AnchorWs.matcher(textOf(a).trim).replaceAll(" ")
             if (text.isEmpty) None
             else a.attrs.get("href").flatMap(h => resolveHref(url, h))
               .map(dst => (dst, text))

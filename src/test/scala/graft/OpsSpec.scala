@@ -1109,6 +1109,40 @@ class OpsSpec extends AnyFunSuite {
     assert(out.subsetOf((1L to 30L).toSet))
   }
 
+  test("curateCorpus: cutLineage=true is row-identical and cuts the plan") {
+    // same fixture shape as the verdict test above; the lineage-cut path
+    // (r6: final verdict via lazy localCheckpoint + measured broadcast
+    // hint) must keep every surviving row identical to the default path,
+    // and the returned plan must reference the verdict as a lineage-free
+    // ExistingRDD scan instead of the nested verdict subtree
+    val good = (1 to 30).map { i =>
+      (i.toLong,
+        s"the quick brown fox number $i jumps over the lazy dog and then " +
+        "walks on to the river where it sits by the water for a while " +
+        "and it is a calm day in the field as the sun sets over the hill " +
+        "and the birds are in the trees by the old stone wall tonight",
+        "en", if (i % 2 == 0) "srcA" else "srcB", 300L - i)
+    }
+    val docs = (good ++ Seq((31L, "too short", "en", "srcA", 5L),
+        (32L, good(0)._2, "en", "srcB", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bench = Seq((99L, good(1)._2)).toDF("id", "text")
+    def run(cut: Boolean) =
+      TextOps.curateCorpus(spark, docs, "doc_id", "text", "lang",
+        "source", "n_chars", bench, cap = 3,
+        rates = Map("en" -> 1.0), defaultRate = 0.0, salt = "s",
+        cutLineage = cut)
+    val cut = run(true)
+    val plain = run(false).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(cut.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "lineage-cut verdict should surface as an ExistingRDD scan")
+    val cutRows = cut.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(cutRows == plain)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("corpusDiff emits churn only, with exact statuses") {
     val prior = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
       .toDF("id", "text")
